@@ -1,0 +1,160 @@
+"""Inpainting generator G — U-Net encoder-decoder over spectrograms.
+
+Reference capability (SURVEY.md §2.1 "Inpainting generator G",
+BASELINE.json north_star: "conv encoder-decoder inpainting generator"):
+a pix2pix-style U-Net on the masked magnitude spectrogram image
+(+ mask channel), skip connections, outputting the completed
+spectrogram.
+
+TPU-first redesign (NOT a torch translation):
+  * NHWC layout (XLA-preferred on TPU), 4x4 convs stride 2 → all conv
+    work lands on the MXU with well-tiled channel dims (64..512).
+  * ASYMMETRIC strides: frequency is downsampled harder than time
+    (freq /64, time /16), so the bottleneck keeps a genuine time axis
+    (B, 4, 16, 8·ngf). Vision features fuse there, aligned per time
+    step — the paper's fusion concept — instead of pix2pix's 1x1
+    bottleneck which would destroy temporal alignment.
+  * InstanceNorm (GroupNorm with one channel per group): no cross-chip
+    batch-stat sync needed under data parallelism (SURVEY.md §2.2).
+  * Optional bf16 compute dtype; params stay fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    in_channels: int = 2        # masked log-mag + mask channel
+    out_channels: int = 1
+    ngf: int = 64
+    # (freq_stride, time_stride) per encoder level, shallow → deep.
+    strides: tuple[tuple[int, int], ...] = (
+        (2, 2), (2, 2), (2, 2), (2, 2), (2, 1), (2, 1)
+    )
+    # channel multiplier per level (×ngf), capped at 8 like pix2pix.
+    mults: tuple[int, ...] = (1, 2, 4, 8, 8, 8)
+    norm: str = "instance"      # instance | batch | none
+    dtype: tp.Any = jnp.float32  # compute dtype (bf16 for speed)
+
+
+def _norm(norm: str, features: int, dtype, rngs: nnx.Rngs):
+    if norm == "instance":
+        return nnx.GroupNorm(
+            num_features=features,
+            num_groups=features,
+            use_bias=True,
+            use_scale=True,
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            rngs=rngs,
+        )
+    if norm == "batch":
+        return nnx.BatchNorm(
+            num_features=features,
+            use_running_average=False,
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            rngs=rngs,
+        )
+    return lambda x: x
+
+
+class DownBlock(nnx.Module):
+    """conv(4x4, stride s) → norm → LeakyReLU(0.2)."""
+
+    def __init__(self, cin, cout, stride, norm, dtype, rngs: nnx.Rngs):
+        self.conv = nnx.Conv(
+            cin, cout, kernel_size=(4, 4), strides=stride, padding="SAME",
+            dtype=dtype, param_dtype=jnp.float32, rngs=rngs,
+        )
+        self.norm = _norm(norm, cout, dtype, rngs)
+
+    def __call__(self, x):
+        return nnx.leaky_relu(self.norm(self.conv(x)), 0.2)
+
+
+class UpBlock(nnx.Module):
+    """transposed-conv(4x4, stride s) → norm → ReLU, with skip concat."""
+
+    def __init__(self, cin, cout, stride, norm, dtype, rngs: nnx.Rngs):
+        self.conv = nnx.ConvTranspose(
+            cin, cout, kernel_size=(4, 4), strides=stride, padding="SAME",
+            dtype=dtype, param_dtype=jnp.float32, rngs=rngs,
+        )
+        self.norm = _norm(norm, cout, dtype, rngs)
+
+    def __call__(self, x):
+        return nnx.relu(self.norm(self.conv(x)))
+
+
+class UNetGenerator(nnx.Module):
+    """Spectrogram inpainting U-Net; bottleneck exposes a time axis.
+
+    __call__(x) → completed spectrogram image in [-1, 1] (tanh).
+    `x` is NHWC: (B, n_bins, n_frames, in_channels).
+    `fusion_features`, if given, is (B, T_bottleneck, C_f) and is tiled
+    over the frequency axis and concatenated at the bottleneck
+    (SURVEY.md §2.1 "Audio-visual fusion").
+    """
+
+    def __init__(self, cfg: GeneratorConfig, rngs: nnx.Rngs,
+                 fusion_channels: int = 0):
+        self.cfg = cfg
+        ngf, dt, norm = cfg.ngf, cfg.dtype, cfg.norm
+        chans = [cfg.in_channels] + [m * ngf for m in cfg.mults]
+        self.downs = []
+        for i, s in enumerate(cfg.strides):
+            # First block skips norm (pix2pix convention).
+            blk = DownBlock(
+                chans[i], chans[i + 1], s,
+                "none" if i == 0 else norm, dt, rngs,
+            )
+            self.downs.append(blk)
+        bott = chans[-1]
+        self.fusion_channels = fusion_channels
+        if fusion_channels:
+            self.fuse = nnx.Conv(
+                bott + fusion_channels, bott, kernel_size=(1, 1),
+                dtype=dt, param_dtype=jnp.float32, rngs=rngs,
+            )
+        self.ups = []
+        up_in = bott
+        for i, s in reversed(list(enumerate(cfg.strides))):
+            cout = chans[i] if i > 0 else ngf
+            self.ups.append(UpBlock(up_in, cout, s, norm, dt, rngs))
+            # Next up-block consumes skip concat.
+            up_in = cout + chans[i] if i > 0 else cout
+        self.head = nnx.Conv(
+            ngf + cfg.in_channels, cfg.out_channels, kernel_size=(3, 3),
+            padding="SAME", dtype=dt, param_dtype=jnp.float32, rngs=rngs,
+        )
+
+    def __call__(self, x: jax.Array,
+                 fusion_features: jax.Array | None = None) -> jax.Array:
+        x0 = x.astype(self.cfg.dtype)
+        h = x0
+        skips = []
+        for blk in self.downs:
+            skips.append(h)
+            h = blk(h)
+        if self.fusion_channels:
+            assert fusion_features is not None, "generator built with fusion"
+            f = fusion_features.astype(self.cfg.dtype)
+            # (B, T, C) → (B, F_bott, T, C): tile along frequency.
+            f = jnp.broadcast_to(
+                f[:, None, :, :], (f.shape[0], h.shape[1], *f.shape[1:])
+            )
+            h = self.fuse(jnp.concatenate([h, f], axis=-1))
+        for i, blk in enumerate(self.ups):
+            h = blk(h)
+            skip = skips[len(self.ups) - 1 - i]
+            h = jnp.concatenate([h, skip], axis=-1)
+        out = self.head(h)
+        return jnp.tanh(out.astype(jnp.float32))
