@@ -1,0 +1,88 @@
+"""Data pipeline tests: native decode, datasets, loader factory
+(SURVEY.md §4 — designed from scratch; the reference has no tests)."""
+
+import numpy as np
+import pytest
+import scipy.io.wavfile as wavfile
+
+from viai_tpu.data import (
+    AudioFolderDataset,
+    SyntheticAVDataset,
+    SyntheticConfig,
+    create_dataloader,
+    load_wav,
+)
+
+
+@pytest.fixture(scope="module")
+def wav_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wavs")
+    rng = np.random.default_rng(0)
+    for i, sr in enumerate([16000, 22050, 8000]):
+        x = (0.4 * np.sin(2 * np.pi * 330 * np.arange(sr * 3) / sr)).astype(
+            np.float32
+        )
+        wavfile.write(d / f"clip{i}.wav", sr, (x * 32767).astype(np.int16))
+    del rng
+    return d
+
+
+def test_load_wav_resamples(wav_dir):
+    for f in sorted(wav_dir.iterdir()):
+        wav = load_wav(str(f), 16000)
+        assert wav.dtype == np.float32
+        assert abs(len(wav) - 48000) < 32  # ~3 s at 16 kHz
+        assert np.abs(wav).max() <= 1.0
+
+
+def test_audio_folder_dataset(wav_dir):
+    ds = AudioFolderDataset(str(wav_dir), clip_samples=16000)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["wav"].shape == (16000,)
+    # Deterministic per (seed, idx).
+    np.testing.assert_array_equal(item["wav"], ds[0]["wav"])
+
+
+def test_synthetic_dataset_deterministic():
+    ds = SyntheticAVDataset(SyntheticConfig(with_video=True, video_frames=4,
+                                            video_size=16))
+    a, b = ds[7], ds[7]
+    np.testing.assert_array_equal(a["wav"], b["wav"])
+    assert a["wav"].shape == (32000,)
+    assert a["frames"].shape == (4, 16, 16, 3)
+    # Different indices give different clips.
+    assert not np.allclose(ds[7]["wav"], ds[8]["wav"])
+
+
+def test_native_loader_iterator(wav_dir):
+    from viai_tpu import native
+
+    if not native.AVAILABLE:
+        pytest.skip("native lib unavailable")
+    it = create_dataloader(
+        "audio", str(wav_dir), batch_size=4, clip_samples=8000, n_threads=2
+    )
+    batch = next(iter(it))
+    assert batch["wav"].shape == (4, 8000)
+    assert np.isfinite(batch["wav"]).all()
+    it.close()
+
+
+def test_grain_synthetic_loader():
+    it = create_dataloader(
+        "synthetic", batch_size=4, clip_samples=32000, n_threads=0,
+        num_epochs=1,
+    )
+    batch = next(iter(it))
+    assert batch["wav"].shape == (4, 32000)
+
+
+def test_grain_av_synthetic_loader():
+    it = create_dataloader(
+        "synthetic_av", batch_size=2, clip_samples=32000, n_threads=0,
+        n_frames=4, frame_size=16, num_epochs=1,
+    )
+    batch = next(iter(it))
+    assert batch["wav"].shape == (2, 32000)
+    assert batch["frames"].shape == (2, 4, 16, 16, 3)

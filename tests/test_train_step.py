@@ -1,0 +1,132 @@
+"""Integration: one train_step on synthetic data — losses finite &
+decreasing, D/G alternation correct (SURVEY.md §4 Integration row).
+
+Uses a tiny STFT/model config so the CPU test stays fast.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from viai_tpu.nn import (
+    DiscriminatorConfig,
+    GeneratorConfig,
+    PatchDiscriminator,
+    UNetGenerator,
+    VideoFeatureNet,
+    VideoNetConfig,
+)
+from viai_tpu.signal import MaskConfig, STFTConfig
+from viai_tpu.train import (
+    TrainConfig,
+    adam,
+    init_state,
+    make_infer_fn,
+    make_train_step,
+)
+
+TINY_STFT = STFTConfig(n_fft=126, hop_length=64)  # 64 bins
+TINY_CFG = TrainConfig(
+    stft=TINY_STFT,
+    mask=MaskConfig(min_gap_frames=8, max_gap_frames=16),
+    image_frames=64,
+    lambda_l1=100.0,
+)
+
+
+def _tiny_models(use_video=False, seed=0):
+    rngs = nnx.Rngs(seed)
+    gcfg = GeneratorConfig(
+        ngf=8,
+        strides=((2, 2), (2, 2), (2, 1)),
+        mults=(1, 2, 4),
+    )
+    G = UNetGenerator(gcfg, rngs, fusion_channels=16 if use_video else 0)
+    D = PatchDiscriminator(
+        DiscriminatorConfig(in_channels=3, ndf=8, n_layers=2), rngs
+    )
+    V = None
+    if use_video:
+        V = VideoFeatureNet(
+            VideoNetConfig(
+                base=4, mults=(1, 2), strides=((1, 2, 2), (2, 2, 2)),
+                out_features=16, out_time=16,  # = G bottleneck time axis
+            ),
+            rngs,
+        )
+    return G, D, V
+
+
+def _wav(batch=4, n=4032, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000
+    f = rng.uniform(100, 1000, size=(batch, 1))
+    return (0.3 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+@pytest.mark.parametrize("order", ["simultaneous", "sequential"])
+def test_train_step_losses_finite_and_decreasing(order):
+    cfg = TrainConfig(**{**TINY_CFG.__dict__, "update_order": order})
+    G, D, V = _tiny_models()
+    g_tx = adam(2e-4)
+    d_tx = adam(2e-4)
+    (g_def, d_def, v_def), state = init_state(G, D, V, g_tx, d_tx)
+    step = make_train_step(g_def, d_def, v_def, g_tx, d_tx, cfg)
+    wav = jnp.asarray(_wav())
+    key = jax.random.key(0)
+    first_l1 = None
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, wav, None, sub)
+        m = jax.tree.map(float, metrics)
+        assert all(np.isfinite(v) for v in m.values()), m
+        if first_l1 is None:
+            first_l1 = m["loss_G_L1"]
+    assert int(state["step"]) == 8
+    # L1 should drop on a deterministic batch of sines after 8 steps.
+    assert m["loss_G_L1"] < first_l1, (m["loss_G_L1"], first_l1)
+
+
+def test_train_step_with_video_branch():
+    G, D, V = _tiny_models(use_video=True)
+    cfg = TrainConfig(**{**TINY_CFG.__dict__, "use_video": True})
+    g_tx, d_tx = adam(2e-4), adam(2e-4)
+    (g_def, d_def, v_def), state = init_state(G, D, V, g_tx, d_tx)
+    step = make_train_step(g_def, d_def, v_def, g_tx, d_tx, cfg)
+    wav = jnp.asarray(_wav(2))
+    frames = jax.random.normal(jax.random.key(7), (2, 8, 16, 16, 3))
+    v_before = jax.tree.map(np.asarray, jax.tree.leaves(state["v"]))
+    state, metrics = step(state, wav, frames, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss_G"]))
+    # Video net must receive gradients (trains jointly with G).
+    v_after = jax.tree.leaves(state["v"])
+    changed = any(
+        not np.allclose(b, np.asarray(a)) for b, a in zip(v_before, v_after)
+    )
+    assert changed, "video net got no gradient"
+
+
+def test_d_and_g_params_both_update():
+    G, D, V = _tiny_models()
+    g_tx, d_tx = adam(2e-4), adam(2e-4)
+    (g_def, d_def, v_def), state = init_state(G, D, V, g_tx, d_tx)
+    step = make_train_step(g_def, d_def, v_def, g_tx, d_tx, TINY_CFG)
+    wav = jnp.asarray(_wav(2))
+    g0 = np.asarray(jax.tree.leaves(state["g"])[0])
+    d0 = np.asarray(jax.tree.leaves(state["d"])[0])
+    state, _ = step(state, wav, None, jax.random.key(0))
+    assert not np.allclose(g0, np.asarray(jax.tree.leaves(state["g"])[0]))
+    assert not np.allclose(d0, np.asarray(jax.tree.leaves(state["d"])[0]))
+
+
+def test_infer_chain_produces_waveform():
+    G, D, V = _tiny_models()
+    g_tx, d_tx = adam(2e-4), adam(2e-4)
+    (g_def, d_def, v_def), state = init_state(G, D, V, g_tx, d_tx)
+    infer = make_infer_fn(g_def, v_def, TINY_CFG, n_gl_iter=4)
+    wav = jnp.asarray(_wav(2))
+    out = infer(state["g"], state["v"], wav, jax.random.key(0))
+    assert out.shape == wav.shape
+    assert np.isfinite(np.asarray(out)).all()

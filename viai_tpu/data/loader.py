@@ -1,0 +1,122 @@
+"""Loader factory — the reference's `CreateDataLoader(opt)` surface.
+
+Reference capability (SURVEY.md §2.1 "Loader factory"): dispatch a
+dataset by `opt.dataset_mode` and wrap it with multi-worker batching
+(torch DataLoader(num_workers=nThreads)). TPU equivalent
+(SURVEY.md §2.2 "Async data loading"): grain multi-worker pipelines;
+for the pure-audio path a zero-Python-worker native C++ loader
+(viai_tpu.native.NativeClipLoader) is used when available — decode,
+resample, crop and batch assembly all happen in C++ threads.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+
+from .audio import AudioFolderDataset, find_wavs
+from .av import AVFolderDataset, MusicesManifest
+from .synthetic import SyntheticAVDataset, SyntheticConfig
+
+
+def _grain_loader(source, batch_size: int, n_workers: int, seed: int,
+                  shuffle: bool = True, num_epochs: int | None = None):
+    import grain.python as grain
+
+    sampler = grain.IndexSampler(
+        num_records=len(source),
+        shuffle=shuffle,
+        seed=seed,
+        num_epochs=num_epochs,
+        shard_options=grain.NoSharding(),
+    )
+    return grain.DataLoader(
+        data_source=source,
+        sampler=sampler,
+        operations=[grain.Batch(batch_size=batch_size, drop_remainder=True)],
+        worker_count=n_workers,
+    )
+
+
+class NativeAudioIterator:
+    """Wraps NativeClipLoader to yield {'wav': (B, S)} dicts forever."""
+
+    def __init__(self, root: str, batch_size: int, clip_samples: int,
+                 sample_rate: int, n_workers: int, seed: int):
+        from .. import native
+
+        paths = find_wavs(root)
+        if not paths:
+            raise FileNotFoundError(f"no .wav files under {root}")
+        self._loader = native.NativeClipLoader(
+            paths, clip_samples=clip_samples, target_sr=sample_rate,
+            batch=batch_size, n_workers=max(n_workers, 1), seed=seed,
+        )
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return {"wav": self._loader.next()}
+
+    def close(self):
+        self._loader.close()
+
+
+def create_dataloader(
+    dataset_mode: str,
+    dataroot: str | None = None,
+    batch_size: int = 16,
+    clip_samples: int = 32000,
+    sample_rate: int = 16000,
+    n_threads: int = 4,
+    n_frames: int = 16,
+    frame_size: int = 64,
+    seed: int = 0,
+    shuffle: bool = True,
+    num_epochs: int | None = None,
+    prefer_native: bool = True,
+) -> tp.Iterable[dict]:
+    """→ iterable of batch dicts {'wav': (B, S) [, 'frames': (B,T,H,W,3)]}.
+
+    dataset_mode: 'audio' | 'av' | 'musices' | 'synthetic' | 'synthetic_av'
+    (the reference's `--dataset_mode` option, SURVEY.md §2.1).
+    """
+    if dataset_mode == "synthetic" or dataset_mode == "synthetic_av":
+        cfg = SyntheticConfig(
+            sample_rate=sample_rate,
+            clip_seconds=clip_samples / sample_rate,
+            with_video=dataset_mode == "synthetic_av",
+            video_frames=n_frames,
+            video_size=frame_size,
+        )
+        return _grain_loader(
+            SyntheticAVDataset(cfg), batch_size, n_threads, seed,
+            shuffle=shuffle, num_epochs=num_epochs,
+        )
+    if dataset_mode == "audio":
+        from .. import native
+
+        if prefer_native and native.AVAILABLE and shuffle and num_epochs is None:
+            return NativeAudioIterator(
+                dataroot, batch_size, clip_samples, sample_rate,
+                n_threads, seed,
+            )
+        src = AudioFolderDataset(dataroot, clip_samples, sample_rate, seed)
+        return _grain_loader(src, batch_size, n_threads, seed,
+                             shuffle=shuffle, num_epochs=num_epochs)
+    if dataset_mode == "av":
+        src = AVFolderDataset(
+            dataroot, clip_samples, sample_rate, n_frames, frame_size, seed
+        )
+        return _grain_loader(src, batch_size, n_threads, seed,
+                             shuffle=shuffle, num_epochs=num_epochs)
+    if dataset_mode == "musices":
+        src = MusicesManifest(
+            dataroot, "train", clip_samples, sample_rate, n_frames,
+            frame_size, seed,
+        )
+        return _grain_loader(src, batch_size, n_threads, seed,
+                             shuffle=shuffle, num_epochs=num_epochs)
+    raise ValueError(f"unknown dataset_mode: {dataset_mode}")

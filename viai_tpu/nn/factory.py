@@ -1,0 +1,62 @@
+"""Network factories — the reference's `define_G` / `define_D` surface.
+
+Reference capability (SURVEY.md §2.1, L3): pix2pix-style factory
+functions keyed by option strings, so CLI options construct networks
+without touching model code.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import nnx
+
+from .discriminator import DiscriminatorConfig, PatchDiscriminator
+from .generator import GeneratorConfig, UNetGenerator
+from .video import VideoFeatureNet, VideoNetConfig
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def define_G(
+    input_nc: int = 2,
+    output_nc: int = 1,
+    ngf: int = 64,
+    norm: str = "instance",
+    dtype: str = "float32",
+    fusion_channels: int = 0,
+    seed: int = 0,
+) -> UNetGenerator:
+    cfg = GeneratorConfig(
+        in_channels=input_nc, out_channels=output_nc, ngf=ngf,
+        norm=norm, dtype=_DTYPES[dtype],
+    )
+    return UNetGenerator(cfg, nnx.Rngs(seed), fusion_channels=fusion_channels)
+
+
+def define_D(
+    input_nc: int = 1,
+    ndf: int = 64,
+    n_layers_D: int = 3,
+    norm: str = "instance",
+    dtype: str = "float32",
+    seed: int = 1,
+) -> PatchDiscriminator:
+    cfg = DiscriminatorConfig(
+        in_channels=input_nc, ndf=ndf, n_layers=n_layers_D,
+        norm=norm, dtype=_DTYPES[dtype],
+    )
+    return PatchDiscriminator(cfg, nnx.Rngs(seed))
+
+
+def define_V(
+    out_features: int = 256,
+    out_time: int = 16,
+    base: int = 32,
+    dtype: str = "float32",
+    seed: int = 2,
+) -> VideoFeatureNet:
+    cfg = VideoNetConfig(
+        base=base, out_features=out_features, out_time=out_time,
+        dtype=_DTYPES[dtype],
+    )
+    return VideoFeatureNet(cfg, nnx.Rngs(seed))

@@ -109,7 +109,7 @@ class UNetGenerator(nnx.Module):
         self.cfg = cfg
         ngf, dt, norm = cfg.ngf, cfg.dtype, cfg.norm
         chans = [cfg.in_channels] + [m * ngf for m in cfg.mults]
-        self.downs = []
+        self.downs = nnx.List([])
         for i, s in enumerate(cfg.strides):
             # First block skips norm (pix2pix convention).
             blk = DownBlock(
@@ -124,7 +124,7 @@ class UNetGenerator(nnx.Module):
                 bott + fusion_channels, bott, kernel_size=(1, 1),
                 dtype=dt, param_dtype=jnp.float32, rngs=rngs,
             )
-        self.ups = []
+        self.ups = nnx.List([])
         up_in = bott
         for i, s in reversed(list(enumerate(cfg.strides))):
             cout = chans[i] if i > 0 else ngf

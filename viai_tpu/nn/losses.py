@@ -1,0 +1,51 @@
+"""GAN + reconstruction losses.
+
+Reference capability (SURVEY.md §2.1 "Losses"): `GANLoss` with
+lsgan/vanilla switch + weighted L1 spectrogram loss (lambda_L1).
+Pure functions over logits — no modules, no state.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def gan_loss(logits: jax.Array, target_is_real: bool, mode: str = "lsgan"):
+    """Patch logits → scalar adversarial loss.
+
+    lsgan: MSE to 1/0 targets. vanilla: sigmoid BCE. hinge: SA-GAN hinge
+    (D side only; generator hinge = -mean(logits)).
+    """
+    if mode == "lsgan":
+        tgt = jnp.ones_like(logits) if target_is_real else jnp.zeros_like(logits)
+        return jnp.mean((logits - tgt) ** 2)
+    if mode == "vanilla":
+        tgt = jnp.ones_like(logits) if target_is_real else jnp.zeros_like(logits)
+        return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, tgt))
+    if mode == "hinge":
+        if target_is_real:
+            return jnp.mean(nn_relu(1.0 - logits))
+        return jnp.mean(nn_relu(1.0 + logits))
+    raise ValueError(f"unknown gan mode: {mode}")
+
+
+def nn_relu(x):
+    return jnp.maximum(x, 0.0)
+
+
+def l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def masked_l1_loss(pred, target, keep_mask, hole_weight: float = 1.0,
+                   context_weight: float = 1.0):
+    """L1 with separate weighting of hole vs. observed regions.
+
+    keep_mask broadcasts over (B, F, T, C); 1 = observed, 0 = hole.
+    hole_weight > context_weight focuses the loss on the inpainted gap.
+    """
+    err = jnp.abs(pred - target)
+    w = keep_mask * context_weight + (1.0 - keep_mask) * hole_weight
+    return jnp.sum(err * w) / (jnp.sum(w) + 1e-8)

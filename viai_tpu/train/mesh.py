@@ -1,0 +1,50 @@
+"""Device mesh + sharding helpers (SURVEY.md §2.2/§2.3).
+
+The reference's only parallelism is intra-process DataParallel over
+`opt.gpu_ids`. TPU-native equivalent: a `jax.sharding.Mesh` with a
+`data` axis; batches are sharded over it, parameters replicated, and
+XLA inserts the gradient psum over ICI automatically from sharding
+propagation — no hand-written collectives in model code.
+
+A `model` axis is reserved in the mesh API so parameter sharding can be
+added without changing call sites (SURVEY.md §2.2 TP row), but DP-only
+is the supported configuration for this model size.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int | None = None, devices=None, n_model: int = 1
+) -> Mesh:
+    """Mesh over all (or the first n_data·n_model) devices: ('data','model')."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over 'data', rest replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host pytree of arrays on the mesh, batch-axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,239 @@
+"""GAN training/inference steps — ONE compiled XLA program each.
+
+Reference capability (SURVEY.md §3.1): the reference splits work
+between CPU DataLoader workers (librosa STFT + masking) and the GPU
+(G/D fwd+bwd). Here the ENTIRE chain — STFT, compression, mask
+sampling, G/V forward, both backward passes, both Adam updates — is a
+single jit-compiled program (BASELINE.json north_star "fused ... under
+one pjit step"), so batches enter as raw waveforms and nothing bounces
+through host memory.
+
+GAN update ordering (SURVEY.md §7 "Hard part #3"): the reference
+(pix2pix template) steps D first, then computes the G loss against the
+UPDATED D. `update_order='sequential'` reproduces that exactly;
+'simultaneous' computes both grads against pre-update D, saving one G
+forward per step (~15% faster, standard JAX-GAN practice) — the
+default for training from scratch, sequential for parity runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import nnx
+
+from ..nn.losses import gan_loss, masked_l1_loss
+from ..signal.griffin_lim import griffin_lim
+from ..signal.mask import MaskConfig, sample_batch_masks
+from ..signal.mel import compress, decompress
+from ..signal.stft import STFTConfig, stft_magnitude
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static training-step parameters (hashable, closed over by jit)."""
+
+    stft: STFTConfig = STFTConfig()
+    mask: MaskConfig = MaskConfig()
+    image_frames: int = 256      # spectrogram image time dim (pad target)
+    gan_mode: str = "lsgan"
+    lambda_l1: float = 100.0
+    hole_weight: float = 1.0     # >1 focuses L1 on the gap
+    conditional_d: bool = True   # D sees (masked, mask, completed)
+    use_video: bool = False
+    update_order: str = "simultaneous"   # or "sequential" (reference parity)
+    compress_ceiling: float = 6.0
+
+
+# ---------------------------------------------------------------------------
+# On-device preprocessing (replaces the reference's CPU worker hot loop #1,
+# SURVEY.md §3.1/§3.3).
+# ---------------------------------------------------------------------------
+
+def preprocess(wav: jax.Array, key: jax.Array, cfg: TrainConfig):
+    """(B, T) waveform + key → dict of NHWC spectrogram images.
+
+    Returns real_img/masked_img in [-1, 1], mask_img with 1 = observed.
+    The STFT's (B, frames, bins) is transposed to (B, bins, frames) and
+    zero-padded along time to `image_frames` (251 → 256 by default) so
+    the U-Net sees tile-friendly square images.
+    """
+    mag = stft_magnitude(wav, cfg.stft)            # (B, F, n_bins)
+    mag = jnp.swapaxes(mag, -1, -2)                # (B, n_bins, F)
+    n_frames = mag.shape[-1]
+    pad = cfg.image_frames - n_frames
+    assert pad >= 0, "image_frames smaller than STFT frame count"
+    mag = jnp.pad(mag, ((0, 0), (0, 0), (0, pad)))
+    tmask = sample_batch_masks(key, wav.shape[0], cfg.image_frames, cfg.mask)
+    # Never mask the padding region — treat pad columns as observed.
+    if pad:
+        tmask = tmask.at[:, n_frames:].set(1.0)
+    mask_img = jnp.broadcast_to(tmask[:, None, :], mag.shape)[..., None]
+    real_img = compress(mag, cfg.compress_ceiling)[..., None]
+    masked_img = compress(mag * mask_img[..., 0], cfg.compress_ceiling)[..., None]
+    return {
+        "real_img": real_img,
+        "masked_img": masked_img,
+        "mask_img": mask_img,
+        "n_frames": n_frames,
+    }
+
+
+def _g_input(batch):
+    return jnp.concatenate([batch["masked_img"], batch["mask_img"]], axis=-1)
+
+
+def _d_input(batch, img, cfg: TrainConfig):
+    if cfg.conditional_d:
+        return jnp.concatenate(
+            [batch["masked_img"], batch["mask_img"], img], axis=-1
+        )
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Train step factory
+# ---------------------------------------------------------------------------
+
+def make_train_step(
+    g_def, d_def, v_def, g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation, cfg: TrainConfig,
+):
+    """Build the jit'd (state, wav, frames, key) → (state, metrics) step.
+
+    g_def/d_def/v_def are nnx graphdefs (from nnx.split); v_def may be
+    None for the audio-only model. The generator optimizer updates
+    (G, V) jointly — the video net trains end-to-end with G
+    (SURVEY.md §2.1 "Task models").
+    """
+
+    def g_forward(g_state, v_state, batch, frames):
+        G = nnx.merge(g_def, g_state)
+        feats = None
+        if cfg.use_video:
+            V = nnx.merge(v_def, v_state)
+            feats = V(frames)
+        return G(_g_input(batch), feats)
+
+    def d_logits(d_state, batch, img):
+        D = nnx.merge(d_def, d_state)
+        return D(_d_input(batch, img, cfg))
+
+    def d_loss_fn(d_state, batch, fake):
+        real_logits = d_logits(d_state, batch, batch["real_img"])
+        fake_logits = d_logits(d_state, batch, jax.lax.stop_gradient(fake))
+        l_real = gan_loss(real_logits, True, cfg.gan_mode)
+        l_fake = gan_loss(fake_logits, False, cfg.gan_mode)
+        loss = 0.5 * (l_real + l_fake)
+        return loss, {"loss_D_real": l_real, "loss_D_fake": l_fake,
+                      "loss_D": loss}
+
+    def g_loss_fn(gv_state, d_state, batch, frames):
+        g_state, v_state = gv_state
+        fake = g_forward(g_state, v_state, batch, frames)
+        if cfg.gan_mode == "hinge":
+            l_gan = -jnp.mean(d_logits(d_state, batch, fake))
+        else:
+            l_gan = gan_loss(d_logits(d_state, batch, fake), True, cfg.gan_mode)
+        l_l1 = masked_l1_loss(
+            fake, batch["real_img"], batch["mask_img"],
+            hole_weight=cfg.hole_weight,
+        )
+        loss = l_gan + cfg.lambda_l1 * l_l1
+        return loss, (fake, {"loss_G_GAN": l_gan, "loss_G_L1": l_l1,
+                             "loss_G": loss})
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, wav, frames, key):
+        batch = preprocess(wav, key, cfg)
+        gv = (state["g"], state["v"])
+
+        if cfg.update_order == "sequential":
+            # Reference ordering: D steps on current fake, then G
+            # differentiates against the UPDATED D.
+            fake = g_forward(state["g"], state["v"], batch, frames)
+            (_, d_metrics), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state["d"], batch, fake)
+            d_upd, d_opt = d_tx.update(d_grads, state["d_opt"], state["d"])
+            d_new = optax.apply_updates(state["d"], d_upd)
+            (_, (_, g_metrics)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(gv, d_new, batch, frames)
+        else:
+            # Simultaneous: both grads against pre-update D; one G fwd.
+            (_, (fake, g_metrics)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(gv, state["d"], batch, frames)
+            (_, d_metrics), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state["d"], batch, fake)
+            d_upd, d_opt = d_tx.update(d_grads, state["d_opt"], state["d"])
+            d_new = optax.apply_updates(state["d"], d_upd)
+
+        g_upd, g_opt = g_tx.update(g_grads, state["g_opt"], gv)
+        g_new, v_new = optax.apply_updates(gv, g_upd)
+
+        metrics = {**d_metrics, **g_metrics}
+        new_state = {
+            "g": g_new, "d": d_new, "v": v_new,
+            "g_opt": g_opt, "d_opt": d_opt,
+            "step": state["step"] + 1,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def init_state(G, D, V, g_tx, d_tx):
+    """Split live nnx modules into the pure train-state pytree."""
+    g_def, g_state = nnx.split(G)
+    d_def, d_state = nnx.split(D)
+    if V is not None:
+        v_def, v_state = nnx.split(V)
+    else:
+        v_def, v_state = None, nnx.State({})
+    state = {
+        "g": g_state, "d": d_state, "v": v_state,
+        "g_opt": g_tx.init((g_state, v_state)),
+        "d_opt": d_tx.init(d_state),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    return (g_def, d_def, v_def), state
+
+
+# ---------------------------------------------------------------------------
+# Inference / benchmark chain: wav → inpainted wav (SURVEY.md §3.2 — the
+# benchmark unit of work, BASELINE.json metric).
+# ---------------------------------------------------------------------------
+
+def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
+                  length: int | None = None):
+    """Build jit'd (g_state, v_state, wav, key, frames) → inpainted wav.
+
+    Full chain: STFT → mask → G inpaint → composite (observed region is
+    kept verbatim, hole from G) → Griffin-Lim → waveform. Entirely on
+    device; host sees only the input waveform and the output waveform.
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def infer(g_state, v_state, wav, key, frames=None):
+        batch = preprocess(wav, key, cfg)
+        G = nnx.merge(g_def, g_state)
+        feats = None
+        if cfg.use_video:
+            V = nnx.merge(v_def, v_state)
+            feats = V(frames)
+        fake = G(_g_input(batch), feats)
+        fake_mag = decompress(fake[..., 0], cfg.compress_ceiling)
+        real_masked = decompress(batch["masked_img"][..., 0],
+                                 cfg.compress_ceiling)
+        m = batch["mask_img"][..., 0]
+        comp = real_masked * m + fake_mag * (1.0 - m)    # (B, bins, T_img)
+        n_frames = cfg.stft.num_frames(wav.shape[-1])
+        mag = jnp.swapaxes(comp[..., :n_frames], -1, -2)  # (B, F, bins)
+        out_len = length if length is not None else wav.shape[-1]
+        return griffin_lim(mag, cfg.stft, n_iter=n_gl_iter, length=out_len)
+
+    return infer
