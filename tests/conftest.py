@@ -15,3 +15,10 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 )
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The environment's sitecustomize may force jax_platforms to a TPU
+# backend at interpreter start; override it back to CPU before any
+# backend is initialized (env var alone is not enough there).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,71 @@
+"""Distributed DP tests on the virtual 8-device CPU mesh.
+
+SURVEY.md §4 "Distributed" row: DP train step on mesh sizes 1/4/8 —
+grads (hence updated params) identical to single-device, since XLA's
+psum of per-shard grads must equal the full-batch gradient.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tests.test_train_step import TINY_CFG, _tiny_models, _wav
+from viai_tpu.train import (
+    adam,
+    init_state,
+    make_mesh,
+    make_train_step,
+    replicate,
+    shard_batch,
+)
+
+
+def _run_steps(mesh, n_steps=2, batch=8):
+    G, D, V = _tiny_models(seed=0)
+    g_tx, d_tx = adam(2e-4), adam(2e-4)
+    (g_def, d_def, v_def), state = init_state(G, D, V, g_tx, d_tx)
+    state = replicate(state, mesh)
+    step = make_train_step(g_def, d_def, v_def, g_tx, d_tx, TINY_CFG)
+    wav = jnp.asarray(_wav(batch))
+    key = jax.random.key(42)
+    with jax.set_mesh(mesh):
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            wav_sharded = jax.device_put(
+                wav, NamedSharding(mesh, P("data"))
+            )
+            state, metrics = step(state, wav_sharded, None, sub)
+    return state, jax.tree.map(float, metrics)
+
+
+def test_device_count():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+
+
+@pytest.mark.parametrize("n_data", [4, 8])
+def test_dp_matches_single_device(n_data):
+    mesh1 = make_mesh(1)
+    meshN = make_mesh(n_data)
+    s1, m1 = _run_steps(mesh1)
+    sN, mN = _run_steps(meshN)
+    # Same losses step-for-step...
+    for k in m1:
+        np.testing.assert_allclose(m1[k], mN[k], rtol=2e-4, atol=2e-5)
+    # ...and identical updated params.
+    l1 = jax.tree.leaves(s1["g"])
+    lN = jax.tree.leaves(sN["g"])
+    for a, b in zip(l1, lN):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_batch_is_actually_sharded():
+    mesh = make_mesh(8)
+    wav = jnp.asarray(_wav(8))
+    sharded = shard_batch({"wav": wav}, mesh)["wav"]
+    assert len(sharded.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in sharded.addressable_shards}
+    assert shard_shapes == {(1, wav.shape[1])}

@@ -1,0 +1,149 @@
+"""Options/CLI — mirrors the reference's argparse surface.
+
+Reference capability (SURVEY.md §2.1 "Options/CLI", §5.6): three-tier
+argparse (BaseOptions / TrainOptions / TestOptions) with the pix2pix
+flag names (--dataroot, --name, --batchSize, --nThreads, --niter,
+--niter_decay, --lambda_L1, --which_epoch, ...), printed to stdout and
+persisted as `opt.txt` in the experiment directory keyed by --name.
+[B:5] requires API mirroring; flag names are kept verbatim, with
+TPU-rebuild additions grouped at the bottom (sample_rate, n_fft, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+class BaseOptions:
+    def __init__(self):
+        self.parser = argparse.ArgumentParser(
+            formatter_class=argparse.ArgumentDefaultsHelpFormatter
+        )
+        self.initialized = False
+        self.isTrain = True
+
+    def initialize(self):
+        p = self.parser
+        # --- reference base options (pix2pix template names) ---
+        p.add_argument("--dataroot", type=str, default=None,
+                       help="path to wavs / manifest (dataset-dependent)")
+        p.add_argument("--name", type=str, default="experiment",
+                       help="experiment name; checkpoints go to "
+                            "checkpoints_dir/name")
+        p.add_argument("--gpu_ids", type=str, default="0",
+                       help="kept for CLI compatibility; device selection "
+                            "is JAX-managed on TPU")
+        p.add_argument("--model", type=str, default="audio",
+                       choices=["audio", "av"],
+                       help="audio-only or vision-infused model")
+        p.add_argument("--batchSize", type=int, default=16)
+        p.add_argument("--input_nc", type=int, default=2,
+                       help="G input channels (masked spec + mask)")
+        p.add_argument("--output_nc", type=int, default=1)
+        p.add_argument("--ngf", type=int, default=64)
+        p.add_argument("--ndf", type=int, default=64)
+        p.add_argument("--n_layers_D", type=int, default=3)
+        p.add_argument("--dataset_mode", type=str, default="synthetic",
+                       choices=["audio", "av", "musices", "synthetic",
+                                "synthetic_av"])
+        p.add_argument("--nThreads", type=int, default=4)
+        p.add_argument("--checkpoints_dir", type=str, default="./checkpoints")
+        p.add_argument("--norm", type=str, default="instance",
+                       choices=["instance", "batch", "none"])
+        p.add_argument("--serial_batches", action="store_true",
+                       help="no shuffling (sequential sampling)")
+        p.add_argument("--no_html", action="store_true")
+        p.add_argument("--init_type", type=str, default="normal",
+                       help="kept for compatibility; flax initializers")
+        p.add_argument("--seed", type=int, default=0)
+        # --- TPU rebuild additions ---
+        p.add_argument("--sample_rate", type=int, default=16000)
+        p.add_argument("--clip_seconds", type=float, default=2.0)
+        p.add_argument("--n_fft", type=int, default=510)
+        p.add_argument("--hop_length", type=int, default=128)
+        p.add_argument("--image_frames", type=int, default=256,
+                       help="spectrogram image time dim (pad target)")
+        p.add_argument("--min_gap_frames", type=int, default=25)
+        p.add_argument("--max_gap_frames", type=int, default=50)
+        p.add_argument("--num_gaps", type=int, default=1)
+        p.add_argument("--gan_mode", type=str, default="lsgan",
+                       choices=["lsgan", "vanilla", "hinge"])
+        p.add_argument("--dtype", type=str, default="float32",
+                       choices=["float32", "bfloat16"],
+                       help="network compute dtype (params stay fp32)")
+        p.add_argument("--n_video_frames", type=int, default=16)
+        p.add_argument("--frame_size", type=int, default=64)
+        p.add_argument("--fusion_channels", type=int, default=256)
+        p.add_argument("--gl_iters", type=int, default=32,
+                       help="Griffin-Lim iterations at test time")
+        p.add_argument("--n_data_devices", type=int, default=0,
+                       help="data-parallel mesh size; 0 = all devices")
+        self.initialized = True
+
+    def parse(self, args=None, save=True):
+        if not self.initialized:
+            self.initialize()
+        opt = self.parser.parse_args(args)
+        opt.isTrain = self.isTrain
+        expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+        if save:
+            os.makedirs(expr_dir, exist_ok=True)
+        lines = ["------------ Options -------------"]
+        for k, v in sorted(vars(opt).items()):
+            lines.append(f"{k}: {v}")
+        lines.append("-------------- End ----------------")
+        text = "\n".join(lines)
+        print(text)
+        if save:
+            # Reference behavior: persist opt.txt into the experiment dir.
+            fname = "opt.txt" if self.isTrain else "opt_test.txt"
+            with open(os.path.join(expr_dir, fname), "w") as f:
+                f.write(text + "\n")
+        self.opt = opt
+        return opt
+
+
+class TrainOptions(BaseOptions):
+    def initialize(self):
+        super().initialize()
+        p = self.parser
+        p.add_argument("--display_freq", type=int, default=100)
+        p.add_argument("--print_freq", type=int, default=100)
+        p.add_argument("--save_latest_freq", type=int, default=5000)
+        p.add_argument("--save_epoch_freq", type=int, default=5)
+        p.add_argument("--continue_train", action="store_true")
+        p.add_argument("--epoch_count", type=int, default=1)
+        p.add_argument("--phase", type=str, default="train")
+        p.add_argument("--which_epoch", type=str, default="latest")
+        p.add_argument("--niter", type=int, default=100,
+                       help="epochs at initial lr")
+        p.add_argument("--niter_decay", type=int, default=100,
+                       help="epochs of linear lr decay to zero")
+        p.add_argument("--beta1", type=float, default=0.5)
+        p.add_argument("--lr", type=float, default=2e-4)
+        p.add_argument("--no_lsgan", action="store_true",
+                       help="use vanilla GAN loss instead of LSGAN")
+        p.add_argument("--lambda_L1", type=float, default=100.0)
+        p.add_argument("--hole_weight", type=float, default=1.0)
+        p.add_argument("--pool_size", type=int, default=0)
+        p.add_argument("--lr_policy", type=str, default="lambda",
+                       choices=["lambda", "step", "cosine", "constant"])
+        p.add_argument("--lr_decay_iters", type=int, default=50)
+        p.add_argument("--update_order", type=str, default="simultaneous",
+                       choices=["simultaneous", "sequential"])
+        p.add_argument("--steps_per_epoch", type=int, default=0,
+                       help="0 = derive from dataset length / batchSize")
+        self.isTrain = True
+
+
+class TestOptions(BaseOptions):
+    def initialize(self):
+        super().initialize()
+        p = self.parser
+        p.add_argument("--ntest", type=int, default=float("inf"))
+        p.add_argument("--results_dir", type=str, default="./results/")
+        p.add_argument("--phase", type=str, default="test")
+        p.add_argument("--which_epoch", type=str, default="latest")
+        p.add_argument("--how_many", type=int, default=50)
+        self.isTrain = False
