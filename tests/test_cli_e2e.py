@@ -1,0 +1,69 @@
+"""End-to-end CLI test: train.py → checkpoints → test.py → gallery.
+
+Exercises the reference's full user workflow (SURVEY.md §3.1/§3.2) on a
+tiny CPU-runnable config (SURVEY.md §7.2 — config 1 is CPU-runnable).
+"""
+
+import json
+import os
+
+from viai_tpu.cli.test import main as infer_main
+from viai_tpu.cli.train import main as train_main
+
+TINY = [
+    "--dataset_mode", "synthetic",
+    "--model", "audio",
+    "--batchSize", "2",
+    "--nThreads", "0",
+    "--clip_seconds", "0.252",     # 4032 samples → 64 frames at hop 64
+    "--n_fft", "126",              # 64 bins
+    "--hop_length", "64",
+    "--image_frames", "64",
+    "--ngf", "8", "--ndf", "8",
+    "--min_gap_frames", "8", "--max_gap_frames", "16",
+    "--gl_iters", "2",
+    "--n_data_devices", "2",       # batchSize must divide the data axis
+]
+
+
+def test_train_then_test_cli(tmp_path):
+    ckpt = str(tmp_path / "ckpts")
+    args = TINY + [
+        "--name", "e2e",
+        "--checkpoints_dir", ckpt,
+        "--niter", "1", "--niter_decay", "0",
+        "--steps_per_epoch", "3",
+        "--save_epoch_freq", "1",
+        "--lr_policy", "constant",
+        "--print_freq", "1",
+    ]
+    train_main(args)
+    expr = os.path.join(ckpt, "e2e")
+    # Reference artifacts: opt.txt, loss_log.txt, per-net checkpoints.
+    assert os.path.exists(os.path.join(expr, "opt.txt"))
+    assert os.path.exists(os.path.join(expr, "loss_log.txt"))
+    assert os.path.exists(os.path.join(expr, "1_net_G.pth"))
+    assert os.path.exists(os.path.join(expr, "latest_net_G.pth"))
+    assert os.path.exists(os.path.join(expr, "latest_net_D.pth"))
+    # Losses were logged as JSONL too.
+    with open(os.path.join(expr, "loss_log.jsonl")) as f:
+        rec = json.loads(f.readline())
+    assert "loss_G" in rec and "loss_D" in rec
+
+    results = str(tmp_path / "results")
+    targs = TINY + [
+        "--name", "e2e",
+        "--checkpoints_dir", ckpt,
+        "--results_dir", results,
+        "--which_epoch", "latest",
+        "--how_many", "2",
+    ]
+    summary = infer_main(targs)
+    assert summary["n"] == 2
+    assert summary["psnr_mean"] > 0
+    idx = os.path.join(results, "e2e", "test_latest", "index.html")
+    assert os.path.exists(idx)
+    # Gallery contains images + wavs.
+    imgs = os.listdir(os.path.join(results, "e2e", "test_latest", "images"))
+    assert any(f.endswith(".png") for f in imgs)
+    assert any(f.endswith(".wav") for f in imgs)

@@ -23,8 +23,14 @@ from viai_tpu.train import (
 
 
 def _run_steps(mesh, n_steps=2, batch=8):
+    import optax
+
     G, D, V = _tiny_models(seed=0)
-    g_tx, d_tx = adam(2e-4), adam(2e-4)
+    # SGD, not Adam: Adam's m/rsqrt(v) turns float-reassociation noise on
+    # near-zero grads into O(lr) param flips, masking what we verify here
+    # — that DP per-shard grads psum to the full-batch gradient. With SGD
+    # the param delta IS the gradient (times lr), so the check is direct.
+    g_tx, d_tx = optax.sgd(0.05), optax.sgd(0.05)
     (g_def, d_def, v_def), state = init_state(G, D, V, g_tx, d_tx)
     state = replicate(state, mesh)
     step = make_train_step(g_def, d_def, v_def, g_tx, d_tx, TINY_CFG)
@@ -53,12 +59,13 @@ def test_dp_matches_single_device(n_data):
     # Same losses step-for-step...
     for k in m1:
         np.testing.assert_allclose(m1[k], mN[k], rtol=2e-4, atol=2e-5)
-    # ...and identical updated params.
-    l1 = jax.tree.leaves(s1["g"])
-    lN = jax.tree.leaves(sN["g"])
+    # ...and identical updated params (= identical grads under SGD, up
+    # to fp32 reduction-order noise).
+    l1 = jax.tree.leaves(s1["g"]) + jax.tree.leaves(s1["d"])
+    lN = jax.tree.leaves(sN["g"]) + jax.tree.leaves(sN["d"])
     for a, b in zip(l1, lN):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
         )
 
 

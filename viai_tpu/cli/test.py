@@ -1,0 +1,117 @@
+"""test.py — mirrors the reference inference entry point.
+
+Reference call stack (SURVEY.md §3.2): load checkpoint → loop eval set
+→ model.test() (no-grad G forward + Griffin-Lim) → PSNR/SNR vs ground
+truth → save spectrogram images + wavs + HTML gallery.
+
+The whole inpaint+GL chain runs as one jit'd device program; the host
+only writes result artifacts (BASELINE.json metric chain, [B:2]).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.options import TestOptions
+from ..data import create_dataloader
+from ..model import create_model
+from ..signal import stft_magnitude
+from ..train.step import preprocess
+from ..utils.metrics import masked_psnr, psnr, snr
+from ..utils.visualizer import HTMLGallery
+
+
+def main(args=None):
+    opt = TestOptions().parse(args)
+    clip_samples = int(opt.sample_rate * opt.clip_seconds)
+    loader = create_dataloader(
+        opt.dataset_mode, opt.dataroot, opt.batchSize, clip_samples,
+        opt.sample_rate, opt.nThreads, opt.n_video_frames, opt.frame_size,
+        seed=opt.seed, shuffle=False, num_epochs=1, prefer_native=False,
+    )
+    opt.isTrain = False
+    model = create_model(opt)
+    model.load_networks(opt.which_epoch)
+
+    results_dir = os.path.join(
+        opt.results_dir, opt.name, f"{opt.phase}_{opt.which_epoch}"
+    )
+    gallery = HTMLGallery(results_dir, f"{opt.name} — epoch {opt.which_epoch}")
+
+    all_psnr, all_hole_psnr, all_snr = [], [], []
+    n_done = 0
+    key = jax.random.key(opt.seed)
+    for batch in loader:
+        if n_done >= opt.how_many:
+            break
+        key, kmask, kgl = jax.random.split(key, 3)
+        model.set_input(batch)
+        wav_in = model._input["wav"]
+        out_wav = model.infer_fn(
+            model.state["g"], model.state["v"], wav_in, kmask,
+            model._input["frames"],
+        )
+        # Metrics: spectrogram PSNR (full + hole-only) and waveform SNR.
+        pre = preprocess(wav_in, kmask, model.cfg)
+        out_mag = stft_magnitude(out_wav, model.cfg.stft)
+        in_mag = stft_magnitude(wav_in, model.cfg.stft)
+        from ..signal.mel import compress
+
+        out_img = compress(jnp.swapaxes(out_mag, -1, -2))[..., None]
+        in_img = compress(jnp.swapaxes(in_mag, -1, -2))[..., None]
+        n_fr = in_img.shape[2]
+        m = pre["mask_img"][:, :, :n_fr]
+        b_psnr = np.asarray(psnr(out_img, in_img))
+        b_hole = np.asarray(masked_psnr(out_img, in_img, m))
+        b_snr = np.asarray(snr(out_wav, wav_in))
+        all_psnr += list(b_psnr)
+        all_hole_psnr += list(b_hole)
+        all_snr += list(b_snr)
+
+        wav_np = np.asarray(wav_in)
+        out_np = np.asarray(out_wav)
+        real_img = np.asarray(pre["real_img"])
+        masked_img = np.asarray(pre["masked_img"])
+        fake_full = np.asarray(out_img)
+        for b in range(min(wav_np.shape[0], opt.how_many - n_done)):
+            gallery.add_result(
+                n_done,
+                specs={
+                    "real": (real_img[b, :, :, 0] + 1) / 2,
+                    "masked": (masked_img[b, :, :, 0] + 1) / 2,
+                    "inpainted": (fake_full[b, :, :, 0] + 1) / 2,
+                },
+                wavs={"real": wav_np[b], "inpainted": out_np[b]},
+                metrics={
+                    "PSNR": float(b_psnr[b]),
+                    "holePSNR": float(b_hole[b]),
+                    "SNR": float(b_snr[b]),
+                },
+                sr=opt.sample_rate,
+            )
+            n_done += 1
+
+    path = gallery.save()
+    summary = {
+        "n": n_done,
+        "psnr_mean": float(np.mean(all_psnr)) if all_psnr else float("nan"),
+        "hole_psnr_mean": (
+            float(np.mean(all_hole_psnr)) if all_hole_psnr else float("nan")
+        ),
+        "snr_mean": float(np.mean(all_snr)) if all_snr else float("nan"),
+    }
+    print(f"results → {path}")
+    print(
+        f"PSNR {summary['psnr_mean']:.2f} dB | hole-PSNR "
+        f"{summary['hole_psnr_mean']:.2f} dB | SNR {summary['snr_mean']:.2f} dB "
+        f"({n_done} clips)"
+    )
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""train.py — mirrors the reference training entry point.
+
+Reference call stack (SURVEY.md §3.1):
+  parse options → CreateDataLoader → create_model → epoch/batch loop →
+  set_input → optimize_parameters → periodic print/save →
+  update_learning_rate (folded into the optax schedule here).
+
+Usage (reference-compatible flags):
+  python train.py --name exp --model audio --dataset_mode synthetic \
+      --niter 2 --niter_decay 0 --batchSize 8
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from ..config.options import TrainOptions
+from ..data import create_dataloader
+from ..model import create_model
+from ..utils.visualizer import Visualizer
+
+
+def main(args=None):
+    opt = TrainOptions().parse(args)
+    expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+
+    clip_samples = int(opt.sample_rate * opt.clip_seconds)
+    loader = create_dataloader(
+        opt.dataset_mode, opt.dataroot, opt.batchSize, clip_samples,
+        opt.sample_rate, opt.nThreads, opt.n_video_frames, opt.frame_size,
+        seed=opt.seed, shuffle=not opt.serial_batches,
+    )
+    steps_per_epoch = opt.steps_per_epoch
+    if steps_per_epoch <= 0:
+        try:
+            steps_per_epoch = max(len(loader) // opt.batchSize, 1)  # type: ignore
+        except TypeError:
+            steps_per_epoch = 100
+    opt.steps_per_epoch = steps_per_epoch
+
+    model = create_model(opt)
+    if opt.continue_train:
+        model.load_networks(opt.which_epoch)
+    visualizer = Visualizer(expr_dir, opt.name)
+
+    total_steps = 0
+    data_iter = iter(loader)
+    for epoch in range(opt.epoch_count, opt.niter + opt.niter_decay + 1):
+        epoch_start = time.time()
+        for i in range(steps_per_epoch):
+            step_start = time.time()
+            try:
+                batch = next(data_iter)
+            except StopIteration:
+                data_iter = iter(loader)
+                batch = next(data_iter)
+            model.set_input(batch)
+            model.optimize_parameters()
+            total_steps += 1
+            if total_steps % opt.print_freq == 0:
+                visualizer.print_current_losses(
+                    epoch, i, model.get_current_losses(),
+                    time.time() - step_start,
+                )
+            if total_steps % opt.save_latest_freq == 0:
+                print(f"saving latest (epoch {epoch}, steps {total_steps})")
+                model.save_networks("latest")
+        if epoch % opt.save_epoch_freq == 0:
+            print(f"saving epoch {epoch} (steps {total_steps})")
+            model.save_networks(epoch)
+            model.save_networks("latest")
+        print(
+            f"End of epoch {epoch} / {opt.niter + opt.niter_decay} \t "
+            f"Time: {time.time() - epoch_start:.1f}s"
+        )
+    model.save_networks("latest")
+    if hasattr(loader, "close"):
+        loader.close()
+    return model
+
+
+if __name__ == "__main__":
+    main()

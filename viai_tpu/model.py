@@ -1,0 +1,189 @@
+"""Task models — the reference's `create_model(opt)` / BaseModel surface.
+
+Reference capability (SURVEY.md §2.1 "Task models" / "BaseModel"):
+orchestrate one optimization step (forward G/V, backward D, backward G,
+alternate Adam), expose set_input / optimize_parameters / test /
+save_networks / load_networks / get_current_losses, in audio-only and
+vision-infused variants selected by `opt.model`.
+
+TPU redesign: the heavy lifting lives in the pure jit'd step functions
+(train/step.py); this class is a thin stateful shell that owns the
+train-state pytree, the mesh placement, and the checkpoint naming —
+it contains NO device math of its own.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .io import (
+    load_networks,
+    load_train_state,
+    save_networks,
+    save_train_state,
+)
+from .nn import define_D, define_G, define_V
+from .signal import MaskConfig, STFTConfig
+from .train import (
+    TrainConfig,
+    adam,
+    init_state,
+    make_infer_fn,
+    make_mesh,
+    make_schedule,
+    make_train_step,
+    replicate,
+)
+
+
+def train_config_from_opt(opt) -> TrainConfig:
+    return TrainConfig(
+        stft=STFTConfig(n_fft=opt.n_fft, hop_length=opt.hop_length),
+        mask=MaskConfig(
+            min_gap_frames=opt.min_gap_frames,
+            max_gap_frames=opt.max_gap_frames,
+            num_gaps=opt.num_gaps,
+        ),
+        image_frames=opt.image_frames,
+        gan_mode="vanilla" if getattr(opt, "no_lsgan", False) else opt.gan_mode,
+        lambda_l1=getattr(opt, "lambda_L1", 100.0),
+        hole_weight=getattr(opt, "hole_weight", 1.0),
+        use_video=opt.model == "av",
+        update_order=getattr(opt, "update_order", "simultaneous"),
+    )
+
+
+class VIAIModel:
+    """Audio-only or vision-infused inpainting model (opt.model)."""
+
+    def __init__(self, opt, expr_dir: str | None = None):
+        self.opt = opt
+        self.isTrain = getattr(opt, "isTrain", True)
+        self.cfg = train_config_from_opt(opt)
+        self.expr_dir = expr_dir or f"{opt.checkpoints_dir}/{opt.name}"
+        self.model_names = ["G", "D"] + (["V"] if opt.model == "av" else [])
+
+        use_video = opt.model == "av"
+        fusion = opt.fusion_channels if use_video else 0
+        # Bottleneck time axis = image_frames / prod(time strides) = /16.
+        bott_time = opt.image_frames // 16
+        G = define_G(opt.input_nc, opt.output_nc, opt.ngf, opt.norm,
+                     opt.dtype, fusion_channels=fusion, seed=opt.seed)
+        d_in = (opt.input_nc + opt.output_nc)
+        D = define_D(d_in, opt.ndf, opt.n_layers_D, opt.norm, opt.dtype,
+                     seed=opt.seed + 1)
+        V = None
+        if use_video:
+            V = define_V(opt.fusion_channels, bott_time, dtype=opt.dtype,
+                         seed=opt.seed + 2)
+
+        lr = getattr(opt, "lr", 2e-4)
+        sched_kw = dict(
+            niter=getattr(opt, "niter", 100),
+            niter_decay=getattr(opt, "niter_decay", 100),
+            lr_decay_iters=getattr(opt, "lr_decay_iters", 50),
+            steps_per_epoch=max(getattr(opt, "steps_per_epoch", 1), 1),
+        )
+        policy = getattr(opt, "lr_policy", "constant")
+        self.g_tx = adam(make_schedule(policy, lr, **sched_kw),
+                         beta1=getattr(opt, "beta1", 0.5))
+        self.d_tx = adam(make_schedule(policy, lr, **sched_kw),
+                         beta1=getattr(opt, "beta1", 0.5))
+
+        (self.g_def, self.d_def, self.v_def), self.state = init_state(
+            G, D, V, self.g_tx, self.d_tx
+        )
+        n_data = getattr(opt, "n_data_devices", 0) or None
+        self.mesh = make_mesh(n_data)
+        self.state = replicate(self.state, self.mesh)
+        self._batch_sharding = NamedSharding(self.mesh, P("data"))
+
+        if self.isTrain:
+            self.train_step = make_train_step(
+                self.g_def, self.d_def, self.v_def, self.g_tx, self.d_tx,
+                self.cfg,
+            )
+        self.infer_fn = make_infer_fn(
+            self.g_def, self.v_def, self.cfg,
+            n_gl_iter=getattr(opt, "gl_iters", 32),
+        )
+        self._key = jax.random.key(opt.seed)
+        self._input = None
+        self._losses: dict = {}
+
+    # ---- reference BaseModel surface ------------------------------------
+
+    def set_input(self, batch: dict):
+        """Host batch dict → device, batch axis sharded over the mesh."""
+        wav = jnp.asarray(batch["wav"], jnp.float32)
+        n_data = self.mesh.shape["data"]
+        if wav.shape[0] % n_data:
+            raise ValueError(
+                f"batchSize {wav.shape[0]} must be divisible by the data "
+                f"mesh axis ({n_data} devices); set --batchSize or "
+                f"--n_data_devices accordingly"
+            )
+        frames = batch.get("frames")
+        if frames is not None:
+            frames = jnp.asarray(frames, jnp.float32)
+        self._input = {
+            "wav": jax.device_put(wav, self._batch_sharding),
+            "frames": (
+                jax.device_put(frames, self._batch_sharding)
+                if frames is not None else None
+            ),
+        }
+
+    def optimize_parameters(self):
+        self._key, sub = jax.random.split(self._key)
+        self.state, metrics = self.train_step(
+            self.state, self._input["wav"], self._input["frames"], sub
+        )
+        self._losses = metrics
+
+    def get_current_losses(self) -> dict[str, float]:
+        return {k: float(v) for k, v in self._losses.items()}
+
+    def test(self, key=None):
+        """No-grad inference: → inpainted waveform batch (host numpy)."""
+        key = key if key is not None else jax.random.key(0)
+        out = self.infer_fn(
+            self.state["g"], self.state["v"], self._input["wav"], key,
+            self._input["frames"],
+        )
+        return np.asarray(out)
+
+    def _nets(self) -> dict:
+        nets = {"G": self.state["g"], "D": self.state["d"]}
+        if "V" in self.model_names:
+            nets["V"] = self.state["v"]
+        return nets
+
+    def save_networks(self, which_epoch):
+        save_networks(self._nets(), which_epoch, self.expr_dir)
+        save_train_state(
+            jax.device_get(self.state), which_epoch, self.expr_dir
+        )
+
+    def load_networks(self, which_epoch):
+        try:
+            restored = load_train_state(
+                jax.device_get(self.state), which_epoch, self.expr_dir
+            )
+            self.state = replicate(restored, self.mesh)
+            return
+        except Exception:
+            # .pth-only checkpoint (e.g. exported/foreign): params only.
+            loaded = load_networks(self._nets(), which_epoch, self.expr_dir)
+            self.state["g"] = replicate(loaded["G"], self.mesh)
+            self.state["d"] = replicate(loaded["D"], self.mesh)
+            if "V" in loaded:
+                self.state["v"] = replicate(loaded["V"], self.mesh)
+
+
+def create_model(opt) -> VIAIModel:
+    """The reference's models.create_model(opt) entry (SURVEY.md §3.1)."""
+    return VIAIModel(opt)
