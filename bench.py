@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: 2 s-clip spectrogram inpaint + Griffin-Lim throughput.
+
+Metric (BASELINE.json line 2): clips/sec/chip over the full chain —
+on-device STFT → mask → U-Net generator inpaint → composite →
+32-iteration Griffin-Lim → waveform. North star [B:5]: >2000 clips/s
+on v5e-8, i.e. >250 clips/s/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/s/chip", "vs_baseline": N/250}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--gl_iters", type=int, default=32)
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="generator compute dtype (GL stays fp32)")
+    args = ap.parse_args()
+
+    import jax
+    from flax import nnx
+
+    from viai_tpu.nn import define_G
+    from viai_tpu.train import TrainConfig, make_infer_fn
+
+    cfg = TrainConfig()  # flagship 256x256, n_fft=510, hop=128
+    G = define_G(dtype=args.dtype)
+    g_def, g_state = nnx.split(G)
+    infer = make_infer_fn(g_def, None, cfg, n_gl_iter=args.gl_iters)
+
+    rng = np.random.default_rng(0)
+    wav = jax.numpy.asarray(
+        rng.standard_normal((args.batch, 32000)).astype(np.float32) * 0.1
+    )
+    key = jax.random.key(0)
+    v_state = nnx.State({})
+
+    # Warmup/compile.
+    out = infer(g_state, v_state, wav, key)
+    out.block_until_ready()
+    for _ in range(args.warmup):
+        out = infer(g_state, v_state, wav, key)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = infer(g_state, v_state, wav, key)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    clips_per_sec = args.batch * args.iters / dt
+    per_chip = clips_per_sec / n_chips
+    print(json.dumps({
+        "metric": "clips_per_sec_per_chip (2s inpaint + Griffin-Lim)",
+        "value": round(per_chip, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(per_chip / 250.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

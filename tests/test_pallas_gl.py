@@ -1,0 +1,45 @@
+"""Pallas Griffin-Lim vs the jnp reference implementation.
+
+Runs the kernel in interpreter mode on CPU (tests/conftest.py forces
+the CPU backend); the compiled TPU path runs the identical kernel code.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from viai_tpu.signal import STFTConfig, griffin_lim, stft_magnitude
+from viai_tpu.signal.pallas_gl import griffin_lim_pallas
+
+CFG = STFTConfig(n_fft=126, hop_length=32)  # small → fast interpret runs
+
+
+def _mag(batch=2, n=2048, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000
+    f = rng.uniform(200, 800, (batch, 1))
+    x = (0.4 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+    return stft_magnitude(x, CFG), n
+
+
+@pytest.mark.parametrize("n_iter", [1, 4])
+def test_pallas_gl_matches_jnp(n_iter):
+    mag, n = _mag()
+    ref = griffin_lim(mag, CFG, n_iter=n_iter, length=n)
+    out = griffin_lim_pallas(mag, CFG, n_iter=n_iter, length=n,
+                             interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_pallas_gl_zero_iter_is_zero_phase_istft():
+    mag, n = _mag(batch=1, seed=3)
+    ref = griffin_lim(mag, CFG, n_iter=0, length=n)
+    out = griffin_lim_pallas(mag, CFG, n_iter=0, length=n, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )

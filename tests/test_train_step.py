@@ -27,43 +27,7 @@ from viai_tpu.train import (
     make_train_step,
 )
 
-TINY_STFT = STFTConfig(n_fft=126, hop_length=64)  # 64 bins
-TINY_CFG = TrainConfig(
-    stft=TINY_STFT,
-    mask=MaskConfig(min_gap_frames=8, max_gap_frames=16),
-    image_frames=64,
-    lambda_l1=100.0,
-)
-
-
-def _tiny_models(use_video=False, seed=0):
-    rngs = nnx.Rngs(seed)
-    gcfg = GeneratorConfig(
-        ngf=8,
-        strides=((2, 2), (2, 2), (2, 1)),
-        mults=(1, 2, 4),
-    )
-    G = UNetGenerator(gcfg, rngs, fusion_channels=16 if use_video else 0)
-    D = PatchDiscriminator(
-        DiscriminatorConfig(in_channels=3, ndf=8, n_layers=2), rngs
-    )
-    V = None
-    if use_video:
-        V = VideoFeatureNet(
-            VideoNetConfig(
-                base=4, mults=(1, 2), strides=((1, 2, 2), (2, 2, 2)),
-                out_features=16, out_time=16,  # = G bottleneck time axis
-            ),
-            rngs,
-        )
-    return G, D, V
-
-
-def _wav(batch=4, n=4032, seed=0):
-    rng = np.random.default_rng(seed)
-    t = np.arange(n) / 16000
-    f = rng.uniform(100, 1000, size=(batch, 1))
-    return (0.3 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+from viai_tpu.testing import TINY_CFG, TINY_STFT, tiny_models as _tiny_models, tone_batch as _wav
 
 
 @pytest.mark.parametrize("order", ["simultaneous", "sequential"])

@@ -53,6 +53,9 @@ def train_config_from_opt(opt) -> TrainConfig:
         hole_weight=getattr(opt, "hole_weight", 1.0),
         use_video=opt.model == "av",
         update_order=getattr(opt, "update_order", "simultaneous"),
+        pool_size=getattr(opt, "pool_size", 0) if getattr(
+            opt, "isTrain", True) else 0,
+        n_bins=opt.n_fft // 2 + 1,
     )
 
 
@@ -94,7 +97,7 @@ class VIAIModel:
                          beta1=getattr(opt, "beta1", 0.5))
 
         (self.g_def, self.d_def, self.v_def), self.state = init_state(
-            G, D, V, self.g_tx, self.d_tx
+            G, D, V, self.g_tx, self.d_tx, self.cfg
         )
         n_data = getattr(opt, "n_data_devices", 0) or None
         self.mesh = make_mesh(n_data)

@@ -1,0 +1,219 @@
+"""Pallas Griffin-Lim: the full iteration loop resident in VMEM.
+
+Reference capability (SURVEY.md §3.5): librosa's CPU per-clip GL loop,
+the reference's test-time bottleneck. BASELINE.json north_star:
+"Griffin-Lim phase recovery rewritten as an iterative on-device
+STFT/ISTFT Pallas loop so waveform reconstruction never leaves HBM".
+
+This kernel goes further than the jnp version (griffin_lim.py, which
+XLA already keeps on-device): ALL per-clip state — magnitude, phase,
+frame buffers, the waveform — lives in VMEM across every iteration, so
+the only HBM traffic for a whole 32-iteration reconstruction is one
+read of the magnitude and one write of the waveform. DFT/iDFT are
+dense-basis matmuls on the MXU; framing/overlap-add are VMEM
+dynamic-slice loops on the VPU; the grid runs one clip per program so
+batches pipeline across cores.
+
+Semantics match griffin_lim.py exactly (librosa fast-GL): center
+reflect-padding is reproduced in-kernel via a reversal-matrix matmul
+(vector flip as MXU work — lane-reversal-free), window-sum-square
+normalization, momentum m/(1+m), zero-phase init.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stft import STFTConfig, _dft_bases, _idft_bases, _padded_window
+
+
+@functools.lru_cache(maxsize=8)
+def _reversal_matrix(n: int, padded: int, end_aligned: bool) -> np.ndarray:
+    """Anti-diagonal (padded, padded) selector for vector reversal on MXU.
+
+    start-aligned (end_aligned=False): (v @ J)[k] = v[n-1-k] for k < n.
+    end-aligned  (end_aligned=True):   (v @ J)[k] = v[padded-1-k] for k < n.
+    """
+    J = np.zeros((padded, padded), np.float32)
+    for k in range(n):
+        i = (padded - 1 - k) if end_aligned else (n - 1 - k)
+        J[i, k] = 1.0
+    return J
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def griffin_lim_pallas(
+    mag: jax.Array,
+    cfg: STFTConfig,
+    n_iter: int = 32,
+    length: int | None = None,
+    momentum: float = 0.99,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, F, n_bins) magnitude → (B, length) waveform. Zero-phase init.
+
+    Requires cfg.center=True and length == hop·(F−1) − 2·(n_fft//2)
+    + n_fft (the exact inverse length), the shape produced by
+    stft(wav, cfg) on fixed-size clips — i.e. the serving path.
+    """
+    assert cfg.center, "pallas GL implements the center=True layout"
+    B, F, n_bins = mag.shape
+    N = cfg.n_fft
+    hop = cfg.hop_length
+    pad = N // 2
+    total = hop * (F - 1) + N          # OLA output length (= padded wav)
+    T = total - 2 * pad                # trimmed waveform length
+    if length is None:
+        length = T
+    assert length == T, f"length must be {T} for this frame count"
+    beta = momentum / (1.0 + momentum)
+
+    # Host-precomputed constants (all become HBM->VMEM inputs).
+    cos_b, sin_b = _dft_bases(N)                      # (N, n_bins)
+    icos, isin = _idft_bases(N)                       # (n_bins, N)
+    win = _padded_window(cfg)                         # (N,)
+    w2 = win.astype(np.float64) ** 2
+    env = np.zeros(total, np.float64)
+    for f in range(F):
+        env[f * hop : f * hop + N] += w2
+    inv_env = (1.0 / np.maximum(env, 1e-10)).astype(np.float32)
+    Jpad = _round_up(pad, 128)
+    assert pad + 1 + Jpad <= total, "clip too short for reflect windows"
+    J_left = _reversal_matrix(pad, Jpad, end_aligned=False)
+    J_right = _reversal_matrix(pad, Jpad, end_aligned=True)
+
+    def kernel(mag_ref, cos_ref, sin_ref, icos_ref, isin_ref, win_ref,
+               env_ref, jl_ref, jr_ref, out_ref, re_s, im_s, pre_s,
+               pim_s, fr_s, wav_s):
+        magv = mag_ref[0]                             # (F, n_bins)
+        re_s[:] = jnp.ones_like(magv)                 # zero phase: e^{i0}
+        im_s[:] = jnp.zeros_like(magv)
+        pre_s[:] = jnp.zeros_like(magv)
+        pim_s[:] = jnp.zeros_like(magv)
+        winv = win_ref[0]                             # (N,)
+
+        def istft_to_wav():
+            """(re_s, im_s) phase + mag → normalized padded wav in wav_s."""
+            fr_s[:] = (
+                jnp.dot(magv * re_s[:], icos_ref[:],
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(magv * im_s[:], isin_ref[:],
+                          preferred_element_type=jnp.float32)
+            ) * winv[None, :]
+            wav_s[:] = jnp.zeros_like(wav_s)
+
+            def ola_body(f, _):
+                seg = wav_s[0, pl.ds(f * hop, N)]
+                wav_s[0, pl.ds(f * hop, N)] = seg + fr_s[f, :]
+                return 0
+
+            jax.lax.fori_loop(0, F, ola_body, 0)
+            wav_s[:] = wav_s[:] * env_ref[:]          # env_ref is 1/env
+
+        def project():
+            """wav_s (padded layout) → new (re, im) into pre_s/pim_s."""
+            # librosa trims pad then reflect-pads again; reproduce the
+            # edge correction with the reversal matmul:
+            #   left  pad: wav[pad .. 2*pad][1:] reversed
+            #   right pad: wav[total-2*pad .. total-pad][:-1] reversed
+            # J_left: (v @ J)[k] = v[pad-1-k] for k < pad.
+            lsrc = wav_s[0, pad + 1 : pad + 1 + Jpad].reshape(1, Jpad)
+            lrev = jnp.dot(lsrc, jl_ref[:],
+                           preferred_element_type=jnp.float32)
+            # lrev[k] = wav[pad+1 + pad-1-k] = wav[2p-k] — the reflected
+            # value for out[k], k in [0, p).
+            wav_s[0, 0:pad] = lrev[0, 0:pad]
+            # J_right: (v @ J)[k] = v[Jpad-1-k] for k < pad, with the
+            # source window end-anchored at total-pad-1.
+            rsrc = wav_s[0, total - pad - 1 - Jpad : total - pad - 1
+                         ].reshape(1, Jpad)
+            rrev = jnp.dot(rsrc, jr_ref[:],
+                           preferred_element_type=jnp.float32)
+            # rrev[k] = wav[total-p-1-Jp + Jp-1-k] = wav[total-p-2-k] —
+            # the reflected value for out[total-p+k], k in [0, p).
+            wav_s[0, total - pad : total] = rrev[0, 0:pad]
+
+            def frame_body(f, _):
+                fr_s[f, :] = wav_s[0, pl.ds(f * hop, N)] * winv
+                return 0
+
+            jax.lax.fori_loop(0, F, frame_body, 0)
+            pre_s[:] = jnp.dot(fr_s[:], cos_ref[:],
+                               preferred_element_type=jnp.float32)
+            pim_s[:] = jnp.dot(fr_s[:], sin_ref[:],
+                               preferred_element_type=jnp.float32)
+
+        def body(_, carry):
+            istft_to_wav()
+            # Momentum uses previous rebuilt (pre_s/pim_s hold it).
+            old_re = pre_s[:]
+            old_im = pim_s[:]
+            project()                                  # writes new rebuilt
+            are = pre_s[:] - beta * old_re
+            aim = pim_s[:] - beta * old_im
+            inv = jax.lax.rsqrt(are * are + aim * aim + 1e-16)
+            re_s[:] = are * inv
+            im_s[:] = aim * inv
+            return carry
+
+        jax.lax.fori_loop(0, n_iter, body, 0)
+        istft_to_wav()
+        out_ref[0, :] = wav_s[0, pad : pad + T]
+
+    in_specs = [
+            pl.BlockSpec((1, F, n_bins), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, n_bins), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, n_bins), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins, N), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins, N), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, total), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Jpad, Jpad), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Jpad, Jpad), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((1, T), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T), jnp.float32),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((F, n_bins), jnp.float32),   # re
+            pltpu.VMEM((F, n_bins), jnp.float32),   # im
+            pltpu.VMEM((F, n_bins), jnp.float32),   # prev rebuilt re
+            pltpu.VMEM((F, n_bins), jnp.float32),   # prev rebuilt im
+            pltpu.VMEM((F, N), jnp.float32),        # frame buffer
+            pltpu.VMEM((1, total), jnp.float32),    # waveform buffer
+        ],
+        interpret=interpret,
+    )(
+        mag.astype(jnp.float32),
+        jnp.asarray(cos_b), jnp.asarray(sin_b),
+        jnp.asarray(icos), jnp.asarray(isin),
+        jnp.asarray(win).reshape(1, N),
+        jnp.asarray(inv_env).reshape(1, total),
+        jnp.asarray(J_left),
+        jnp.asarray(J_right),
+    )

@@ -32,6 +32,7 @@ from ..signal.griffin_lim import griffin_lim
 from ..signal.mask import MaskConfig, sample_batch_masks
 from ..signal.mel import compress, decompress
 from ..signal.stft import STFTConfig, stft_magnitude
+from .pool import init_pool, query_pool
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +49,8 @@ class TrainConfig:
     use_video: bool = False
     update_order: str = "simultaneous"   # or "sequential" (reference parity)
     compress_ceiling: float = 6.0
+    pool_size: int = 0           # >0 → device-side ImagePool for D
+    n_bins: int = 256            # spectrogram image freq dim
 
 
 # ---------------------------------------------------------------------------
@@ -124,14 +127,24 @@ def make_train_step(
         D = nnx.merge(d_def, d_state)
         return D(_d_input(batch, img, cfg))
 
-    def d_loss_fn(d_state, batch, fake):
-        real_logits = d_logits(d_state, batch, batch["real_img"])
-        fake_logits = d_logits(d_state, batch, jax.lax.stop_gradient(fake))
+    def d_loss_fn(d_state, batch, fake_d_in):
+        """fake_d_in: the (possibly pool-swapped) fake D input tensor."""
+        D = nnx.merge(d_def, d_state)
+        real_logits = D(_d_input(batch, batch["real_img"], cfg))
+        fake_logits = D(fake_d_in)
         l_real = gan_loss(real_logits, True, cfg.gan_mode)
         l_fake = gan_loss(fake_logits, False, cfg.gan_mode)
         loss = 0.5 * (l_real + l_fake)
         return loss, {"loss_D_real": l_real, "loss_D_fake": l_fake,
                       "loss_D": loss}
+
+    def pooled_fake_input(state, batch, fake, key):
+        """Fake D input, routed through the ImagePool when enabled."""
+        fake_in = _d_input(batch, jax.lax.stop_gradient(fake), cfg)
+        if cfg.pool_size > 0:
+            new_pool, fake_in = query_pool(state["pool"], fake_in, key)
+            return new_pool, fake_in
+        return state.get("pool"), fake_in
 
     def g_loss_fn(gv_state, d_state, batch, frames):
         g_state, v_state = gv_state
@@ -150,15 +163,17 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, wav, frames, key):
-        batch = preprocess(wav, key, cfg)
+        k_mask, k_pool = jax.random.split(key)
+        batch = preprocess(wav, k_mask, cfg)
         gv = (state["g"], state["v"])
 
         if cfg.update_order == "sequential":
             # Reference ordering: D steps on current fake, then G
             # differentiates against the UPDATED D.
             fake = g_forward(state["g"], state["v"], batch, frames)
+            pool, fake_d_in = pooled_fake_input(state, batch, fake, k_pool)
             (_, d_metrics), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(state["d"], batch, fake)
+                d_loss_fn, has_aux=True)(state["d"], batch, fake_d_in)
             d_upd, d_opt = d_tx.update(d_grads, state["d_opt"], state["d"])
             d_new = optax.apply_updates(state["d"], d_upd)
             (_, (_, g_metrics)), g_grads = jax.value_and_grad(
@@ -167,8 +182,9 @@ def make_train_step(
             # Simultaneous: both grads against pre-update D; one G fwd.
             (_, (fake, g_metrics)), g_grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True)(gv, state["d"], batch, frames)
+            pool, fake_d_in = pooled_fake_input(state, batch, fake, k_pool)
             (_, d_metrics), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(state["d"], batch, fake)
+                d_loss_fn, has_aux=True)(state["d"], batch, fake_d_in)
             d_upd, d_opt = d_tx.update(d_grads, state["d_opt"], state["d"])
             d_new = optax.apply_updates(state["d"], d_upd)
 
@@ -181,13 +197,19 @@ def make_train_step(
             "g_opt": g_opt, "d_opt": d_opt,
             "step": state["step"] + 1,
         }
+        if pool is not None:
+            new_state["pool"] = pool
         return new_state, metrics
 
     return train_step
 
 
-def init_state(G, D, V, g_tx, d_tx):
-    """Split live nnx modules into the pure train-state pytree."""
+def init_state(G, D, V, g_tx, d_tx, cfg: TrainConfig | None = None):
+    """Split live nnx modules into the pure train-state pytree.
+
+    Pass `cfg` with pool_size > 0 to allocate the device-side ImagePool
+    (its item shape is the D input image; see train/pool.py).
+    """
     g_def, g_state = nnx.split(G)
     d_def, d_state = nnx.split(D)
     if V is not None:
@@ -200,6 +222,11 @@ def init_state(G, D, V, g_tx, d_tx):
         "d_opt": d_tx.init(d_state),
         "step": jnp.zeros((), jnp.int32),
     }
+    if cfg is not None and cfg.pool_size > 0:
+        d_channels = D.cfg.in_channels
+        state["pool"] = init_pool(
+            cfg.pool_size, (cfg.n_bins, cfg.image_frames, d_channels)
+        )
     return (g_def, d_def, v_def), state
 
 
