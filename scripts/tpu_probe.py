@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""One-compile-per-run TPU micro-benchmarks (axon tunnel friendly).
+
+Usage: python scripts/tpu_probe.py <experiment> [args...]
+Each experiment compiles exactly one program, runs it chained (output
+feeds input) to amortize the ~260 ms relay RTT, fetches once, and
+appends a JSON line to scripts/tpu_results.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+RESULTS = os.path.join(os.path.dirname(__file__), "tpu_results.jsonl")
+
+
+def log(rec):
+    rec["t"] = time.time()
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def chain_timed(fn, x, n, batch):
+    import jax
+
+    y = fn(x)
+    np.asarray(y)  # compile + first exec + fetch
+    t0 = time.perf_counter()
+    w = x
+    for _ in range(n):
+        w = fn(w)
+    np.asarray(w)
+    dt = time.perf_counter() - t0
+    return batch * n / dt, dt / n * 1000.0
+
+
+def main():
+    exp = sys.argv[1]
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    wav = jnp.asarray(
+        rng.standard_normal((batch, 32000)).astype(np.float32) * 0.1
+    )
+
+    if exp.startswith("gl_"):
+        # gl_<precision>[_pallas]: Griffin-Lim 32 iters alone.
+        from viai_tpu.signal import STFTConfig, griffin_lim, stft_magnitude
+        from viai_tpu.signal.pallas_gl import griffin_lim_pallas
+
+        parts = exp.split("_")
+        prec = parts[1]
+        use_pallas = len(parts) > 2 and parts[2] == "pallas"
+        cfg = STFTConfig(precision=prec)
+
+        def gl_chain(w):
+            mag = stft_magnitude(w, cfg)
+            if use_pallas:
+                return griffin_lim_pallas(mag, cfg, n_iter=32, length=32000)
+            return griffin_lim(mag, cfg, n_iter=32, length=32000)
+
+        f = jax.jit(gl_chain)
+        cps, ms = chain_timed(f, wav, 5, batch)
+        log({"exp": exp, "batch": batch, "clips_per_s": round(cps, 1),
+             "ms_per_call": round(ms, 2)})
+
+    elif exp.startswith("g_fwd"):
+        # g_fwd_<dtype>: generator forward + preprocess alone.
+        from flax import nnx
+
+        from viai_tpu.nn import define_G
+        from viai_tpu.signal import istft
+        from viai_tpu.train import TrainConfig
+        from viai_tpu.train.step import _g_input, preprocess
+
+        dtype = exp.split("_")[2]
+        cfg = TrainConfig()
+        G = define_G(dtype=dtype)
+        g_def, g_state = nnx.split(G)
+        key = jax.random.key(0)
+
+        def fwd(w):
+            b = preprocess(w, key, cfg)
+            out = nnx.merge(g_def, g_state)(_g_input(b))
+            # keep chainable: collapse back to (B, 32000) cheaply
+            return jnp.repeat(out[:, 0, :125, 0], 256, axis=-1)
+
+        f = jax.jit(fwd)
+        cps, ms = chain_timed(f, wav, 5, batch)
+        log({"exp": exp, "batch": batch, "clips_per_s": round(cps, 1),
+             "ms_per_call": round(ms, 2)})
+
+    elif exp.startswith("full_"):
+        # full_<gdtype>_<glprec>[_pallas][_b<batch>]
+        import dataclasses
+
+        from flax import nnx
+
+        from viai_tpu.nn import define_G
+        from viai_tpu.signal import STFTConfig
+        from viai_tpu.train import TrainConfig, make_infer_fn
+
+        parts = exp.split("_")
+        gdtype, glprec = parts[1], parts[2]
+        use_pallas = "pallas" in parts
+        cfg = TrainConfig(stft=STFTConfig(precision=glprec))
+        if use_pallas:
+            cfg = dataclasses.replace(cfg, gl_backend="pallas")
+        G = define_G(dtype=gdtype)
+        g_def, g_state = nnx.split(G)
+        infer = make_infer_fn(g_def, None, cfg, n_gl_iter=32)
+        key = jax.random.key(0)
+        v = nnx.State({})
+
+        def fwd(w):
+            return infer(g_state, v, w, key)
+
+        cps, ms = chain_timed(fwd, wav, 5, batch)
+        log({"exp": exp, "batch": batch, "clips_per_s": round(cps, 1),
+             "ms_per_call": round(ms, 2)})
+
+    else:
+        raise SystemExit(f"unknown experiment {exp}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Inference service tests: bucketing, external masks, hole compositing
+(BASELINE.json config 4)."""
+
+import numpy as np
+from flax import nnx
+
+from viai_tpu.testing import TINY_CFG, tiny_models, tone_batch
+from viai_tpu.serving import InpaintService
+
+
+def _service(buckets=(2, 4)):
+    G, D, V = tiny_models()
+    g_def, g_state = nnx.split(G)
+    return InpaintService(
+        g_def, g_state, TINY_CFG, buckets=buckets, gl_iters=2,
+        clip_samples=4032,
+    )
+
+
+def test_inpaint_odd_batch_through_buckets():
+    svc = _service()
+    wavs = tone_batch(5, 4032)  # 5 → buckets 4 + 2(pad 1)
+    out = svc.inpaint(wavs, gap_start_s=0.08, gap_end_s=0.12)
+    assert out.shape == wavs.shape
+    assert np.isfinite(out).all()
+    assert svc.stats.clips == 5
+    assert svc.stats.batches == 2
+    assert svc.stats.padded_clips == 1
+    assert svc.stats.clips_per_sec > 0
+
+
+def test_observed_region_mask_semantics():
+    svc = _service(buckets=(2,))
+    masks = svc.time_mask_from_seconds(2, 0.08, 0.12)
+    # Mask has a hole covering the gap frames and nothing else.
+    hop = TINY_CFG.stft.hop_length
+    f0, f1 = int(0.08 * 16000 / hop), int(np.ceil(0.12 * 16000 / hop))
+    assert (masks[:, f0:f1] == 0).all()
+    assert masks.sum() > masks.size * 0.5
+    out = svc.inpaint(tone_batch(2, 4032), masks=masks)
+    assert np.isfinite(out).all()
+
+
+def test_streaming_submit_flush():
+    svc = _service(buckets=(2, 4))
+    masks = svc.time_mask_from_seconds(1, 0.08, 0.12)[0]
+    for clip in tone_batch(3, 4032):
+        svc.submit(clip, masks)
+    outs = svc.flush()
+    assert len(outs) == 3
+    assert all(o.shape == (4032,) for o in outs)
+    assert svc.flush() == []

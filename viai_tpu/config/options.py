@@ -67,6 +67,9 @@ class BaseOptions:
         p.add_argument("--min_gap_frames", type=int, default=25)
         p.add_argument("--max_gap_frames", type=int, default=50)
         p.add_argument("--num_gaps", type=int, default=1)
+        p.add_argument("--long_gap", action="store_true",
+                       help="long-gap config [B:9]: multi-res STFT input "
+                            "channel + larger default masks (75-150 frames)")
         p.add_argument("--gan_mode", type=str, default="lsgan",
                        choices=["lsgan", "vanilla", "hinge"])
         p.add_argument("--dtype", type=str, default="float32",

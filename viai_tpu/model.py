@@ -40,13 +40,18 @@ from .train import (
 
 
 def train_config_from_opt(opt) -> TrainConfig:
+    long_gap = getattr(opt, "long_gap", False)
+    min_gap, max_gap = opt.min_gap_frames, opt.max_gap_frames
+    if long_gap and (min_gap, max_gap) == (25, 50):
+        min_gap, max_gap = 75, 150  # long-gap defaults [B:9]
     return TrainConfig(
         stft=STFTConfig(n_fft=opt.n_fft, hop_length=opt.hop_length),
         mask=MaskConfig(
-            min_gap_frames=opt.min_gap_frames,
-            max_gap_frames=opt.max_gap_frames,
+            min_gap_frames=min_gap,
+            max_gap_frames=max_gap,
             num_gaps=opt.num_gaps,
         ),
+        multi_res=long_gap,
         image_frames=opt.image_frames,
         gan_mode="vanilla" if getattr(opt, "no_lsgan", False) else opt.gan_mode,
         lambda_l1=getattr(opt, "lambda_L1", 100.0),
@@ -73,9 +78,12 @@ class VIAIModel:
         fusion = opt.fusion_channels if use_video else 0
         # Bottleneck time axis = image_frames / prod(time strides) = /16.
         bott_time = opt.image_frames // 16
-        G = define_G(opt.input_nc, opt.output_nc, opt.ngf, opt.norm,
+        input_nc = opt.input_nc
+        if self.cfg.multi_res and input_nc == 2:
+            input_nc = 3  # + coarse-hop spectrogram channel
+        G = define_G(input_nc, opt.output_nc, opt.ngf, opt.norm,
                      opt.dtype, fusion_channels=fusion, seed=opt.seed)
-        d_in = (opt.input_nc + opt.output_nc)
+        d_in = (input_nc + opt.output_nc)
         D = define_D(d_in, opt.ndf, opt.n_layers_D, opt.norm, opt.dtype,
                      seed=opt.seed + 1)
         V = None

@@ -1,0 +1,166 @@
+"""Batched TPU inference service — streaming inpaint with shape buckets.
+
+Reference capability (BASELINE.json config 4, [B:10]): "Batched TPU
+inference service: streaming STFT→inpaint→on-device Griffin-Lim with
+bucketed mask/clip shapes". The reference has no serving story at all
+(test.py loops clips one at a time on CPU Griffin-Lim); this is the
+production path the rebuild adds.
+
+Design (SURVEY.md §7.7 "Hard part #4"):
+  * One jit-compiled program per BATCH BUCKET (e.g. 8/32/128). Any
+    request size is padded up to the nearest bucket, so XLA never sees
+    a new shape after warmup — zero recompiles in steady state.
+  * Clip length is fixed per service (the 2 s contract); masks are an
+    explicit input (the caller's real corrupted region), expressed as
+    a dense (B, image_frames) float mask — static shapes regardless of
+    gap position/length [B:10].
+  * Requests stream through `submit`/`flush`; a micro-batching queue
+    coalesces small requests into the largest bucket that fits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from .train import TrainConfig
+from .train.step import make_infer_fn
+
+
+@dataclasses.dataclass
+class ServiceStats:
+    clips: int = 0
+    batches: int = 0
+    padded_clips: int = 0
+    total_s: float = 0.0
+
+    @property
+    def clips_per_sec(self) -> float:
+        return self.clips / self.total_s if self.total_s else 0.0
+
+
+class InpaintService:
+    """Bucketed, streaming spectrogram-inpainting service.
+
+    >>> svc = InpaintService(g_def, g_state, cfg)
+    >>> out = svc.inpaint(wavs, gap_start_s=0.8, gap_end_s=1.2)
+    """
+
+    def __init__(
+        self,
+        g_def,
+        g_state,
+        cfg: TrainConfig,
+        v_def=None,
+        v_state=None,
+        buckets: tp.Sequence[int] = (8, 32, 128),
+        gl_iters: int = 32,
+        clip_samples: int = 32000,
+        sample_rate: int = 16000,
+    ):
+        self.cfg = cfg
+        self.g_state = g_state
+        self.v_state = v_state if v_state is not None else nnx.State({})
+        self.buckets = tuple(sorted(buckets))
+        self.clip_samples = clip_samples
+        self.sample_rate = sample_rate
+        self._infer = make_infer_fn(
+            g_def, v_def, cfg, n_gl_iter=gl_iters, external_mask=True
+        )
+        self.stats = ServiceStats()
+        self._queue: list[tuple[np.ndarray, np.ndarray]] = []
+
+    # -- mask helpers ------------------------------------------------------
+
+    def time_mask_from_seconds(
+        self, batch: int, gap_start_s: float, gap_end_s: float
+    ) -> np.ndarray:
+        """Gap interval in seconds → dense (B, image_frames) keep-mask."""
+        hop = self.cfg.stft.hop_length
+        f0 = int(gap_start_s * self.sample_rate / hop)
+        f1 = int(np.ceil(gap_end_s * self.sample_rate / hop)) + 1
+        m = np.ones((batch, self.cfg.image_frames), np.float32)
+        m[:, max(f0, 0) : min(f1, self.cfg.image_frames)] = 0.0
+        return m
+
+    # -- direct batched API ------------------------------------------------
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def inpaint(
+        self,
+        wavs: np.ndarray,
+        masks: np.ndarray | None = None,
+        gap_start_s: float | None = None,
+        gap_end_s: float | None = None,
+        frames: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """(N, clip_samples) wavs (+ masks or a gap interval) → inpainted.
+
+        N may be anything; internally processed in padded buckets.
+        """
+        wavs = np.asarray(wavs, np.float32)
+        n = wavs.shape[0]
+        if masks is None:
+            assert gap_start_s is not None and gap_end_s is not None, (
+                "provide either dense masks or a gap interval"
+            )
+            masks = self.time_mask_from_seconds(n, gap_start_s, gap_end_s)
+        masks = np.asarray(masks, np.float32)
+        out = np.empty_like(wavs)
+        i = 0
+        while i < n:
+            remaining = n - i
+            bucket = self._bucket_for(remaining)
+            take = min(remaining, bucket)
+            w = wavs[i : i + take]
+            m = masks[i : i + take]
+            fr = frames[i : i + take] if frames is not None else None
+            if take < bucket:
+                padn = bucket - take
+                w = np.concatenate([w, np.zeros((padn, w.shape[1]), w.dtype)])
+                m = np.concatenate([m, np.ones((padn, m.shape[1]), m.dtype)])
+                if fr is not None:
+                    fr = np.concatenate(
+                        [fr, np.zeros((padn, *fr.shape[1:]), fr.dtype)]
+                    )
+                self.stats.padded_clips += padn
+            t0 = time.perf_counter()
+            y = self._infer(
+                self.g_state, self.v_state, jnp.asarray(w), jnp.asarray(m),
+                jnp.asarray(fr) if fr is not None else None,
+            )
+            y = np.asarray(y)
+            self.stats.total_s += time.perf_counter() - t0
+            self.stats.batches += 1
+            self.stats.clips += take
+            out[i : i + take] = y[:take]
+            i += take
+        return out
+
+    # -- streaming / micro-batching API -------------------------------------
+
+    def submit(self, wav: np.ndarray, mask: np.ndarray):
+        """Queue one clip; call flush() to run the coalesced batch."""
+        self._queue.append(
+            (np.asarray(wav, np.float32), np.asarray(mask, np.float32))
+        )
+
+    def flush(self) -> list[np.ndarray]:
+        if not self._queue:
+            return []
+        wavs = np.stack([w for w, _ in self._queue])
+        masks = np.stack([m for _, m in self._queue])
+        self._queue.clear()
+        out = self.inpaint(wavs, masks)
+        return [out[i] for i in range(out.shape[0])]

@@ -51,6 +51,11 @@ class TrainConfig:
     compress_ceiling: float = 6.0
     pool_size: int = 0           # >0 → device-side ImagePool for D
     n_bins: int = 256            # spectrogram image freq dim
+    gl_backend: str = "xla"      # "xla" | "pallas" (VMEM-resident GL)
+    # Long-gap config [B:9]: add a coarse (2x hop) spectrogram channel
+    # so the generator sees longer context per pixel; pair with larger
+    # MaskConfig gaps. G input_nc becomes 3.
+    multi_res: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -60,6 +65,17 @@ class TrainConfig:
 
 def preprocess(wav: jax.Array, key: jax.Array, cfg: TrainConfig):
     """(B, T) waveform + key → dict of NHWC spectrogram images.
+
+    Samples random gap masks (training/eval). For inference on real
+    corrupted regions use `preprocess_with_mask` with an explicit
+    time mask.
+    """
+    tmask = sample_batch_masks(key, wav.shape[0], cfg.image_frames, cfg.mask)
+    return preprocess_with_mask(wav, tmask, cfg)
+
+
+def preprocess_with_mask(wav: jax.Array, tmask: jax.Array, cfg: TrainConfig):
+    """(B, T) waveform + (B, image_frames) time mask → NHWC image dict.
 
     Returns real_img/masked_img in [-1, 1], mask_img with 1 = observed.
     The STFT's (B, frames, bins) is transposed to (B, bins, frames) and
@@ -72,30 +88,46 @@ def preprocess(wav: jax.Array, key: jax.Array, cfg: TrainConfig):
     pad = cfg.image_frames - n_frames
     assert pad >= 0, "image_frames smaller than STFT frame count"
     mag = jnp.pad(mag, ((0, 0), (0, 0), (0, pad)))
-    tmask = sample_batch_masks(key, wav.shape[0], cfg.image_frames, cfg.mask)
     # Never mask the padding region — treat pad columns as observed.
     if pad:
         tmask = tmask.at[:, n_frames:].set(1.0)
     mask_img = jnp.broadcast_to(tmask[:, None, :], mag.shape)[..., None]
     real_img = compress(mag, cfg.compress_ceiling)[..., None]
     masked_img = compress(mag * mask_img[..., 0], cfg.compress_ceiling)[..., None]
-    return {
+    out = {
         "real_img": real_img,
         "masked_img": masked_img,
         "mask_img": mask_img,
         "n_frames": n_frames,
     }
+    if cfg.multi_res:
+        # Long-gap config [B:9]: coarse 2x-hop spectrogram as an extra
+        # masked input channel (wider context per pixel for big gaps).
+        import dataclasses as _dc
+
+        lo_cfg = _dc.replace(cfg.stft, hop_length=cfg.stft.hop_length * 2)
+        lo = jnp.swapaxes(stft_magnitude(wav, lo_cfg), -1, -2)
+        lo = jnp.repeat(lo, 2, axis=-1)[..., : cfg.image_frames]
+        lo_pad = cfg.image_frames - lo.shape[-1]
+        if lo_pad:
+            lo = jnp.pad(lo, ((0, 0), (0, 0), (0, lo_pad)))
+        out["masked_lo_img"] = compress(
+            lo * mask_img[..., 0], cfg.compress_ceiling
+        )[..., None]
+    return out
 
 
 def _g_input(batch):
-    return jnp.concatenate([batch["masked_img"], batch["mask_img"]], axis=-1)
+    chans = [batch["masked_img"], batch["mask_img"]]
+    if "masked_lo_img" in batch:
+        chans.append(batch["masked_lo_img"])
+    return jnp.concatenate(chans, axis=-1)
 
 
 def _d_input(batch, img, cfg: TrainConfig):
     if cfg.conditional_d:
-        return jnp.concatenate(
-            [batch["masked_img"], batch["mask_img"], img], axis=-1
-        )
+        # Conditional D sees the full G conditioning + the candidate.
+        return jnp.concatenate([_g_input(batch), img], axis=-1)
     return img
 
 
@@ -236,17 +268,25 @@ def init_state(G, D, V, g_tx, d_tx, cfg: TrainConfig | None = None):
 # ---------------------------------------------------------------------------
 
 def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
-                  length: int | None = None):
-    """Build jit'd (g_state, v_state, wav, key, frames) → inpainted wav.
+                  length: int | None = None, external_mask: bool = False):
+    """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
 
     Full chain: STFT → mask → G inpaint → composite (observed region is
     kept verbatim, hole from G) → Griffin-Lim → waveform. Entirely on
     device; host sees only the input waveform and the output waveform.
+
+    external_mask=False: 4th arg is a PRNG key; gaps are sampled
+    (training-style eval). external_mask=True: 4th arg is a
+    (B, image_frames) time mask marking the REAL corrupted region
+    (1 = observed, 0 = hole) — the serving path.
     """
 
     @functools.partial(jax.jit, static_argnames=())
-    def infer(g_state, v_state, wav, key, frames=None):
-        batch = preprocess(wav, key, cfg)
+    def infer(g_state, v_state, wav, key_or_mask, frames=None):
+        if external_mask:
+            batch = preprocess_with_mask(wav, key_or_mask, cfg)
+        else:
+            batch = preprocess(wav, key_or_mask, cfg)
         G = nnx.merge(g_def, g_state)
         feats = None
         if cfg.use_video:
@@ -261,6 +301,12 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
         n_frames = cfg.stft.num_frames(wav.shape[-1])
         mag = jnp.swapaxes(comp[..., :n_frames], -1, -2)  # (B, F, bins)
         out_len = length if length is not None else wav.shape[-1]
+        if cfg.gl_backend == "pallas":
+            from ..signal.pallas_gl import griffin_lim_pallas
+
+            return griffin_lim_pallas(
+                mag, cfg.stft, n_iter=n_gl_iter, length=out_len
+            )
         return griffin_lim(mag, cfg.stft, n_iter=n_gl_iter, length=out_len)
 
     return infer
