@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Dataset preparation — the reference's download/trim scripts, rebuilt.
+
+Reference capability (SURVEY.md §2.1 "Dataset scripts"): shell/python
+helpers that trim YouTube clips, extract/resample audio, and extract
+frames (this environment has no network, so the download step is out
+of scope; this script handles everything after the media exists).
+
+Modes:
+  audio     — walk a tree of audio/video files, write 16 kHz mono wavs
+  frames    — extract per-clip frame stacks to <stem>.npy (cv2/PIL)
+  manifest  — build a MUSICES.json-style manifest from a prepared tree
+  synthetic — write N synthetic wav clips (+ frame stacks) for demos
+
+Usage:
+  python scripts/prepare_dataset.py synthetic --out /tmp/viai_data -n 64
+  python scripts/prepare_dataset.py manifest --root /tmp/viai_data \
+      --out /tmp/viai_data/MUSICES.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def cmd_synthetic(args):
+    from viai_tpu.data.synthetic import SyntheticAVDataset, SyntheticConfig
+    from viai_tpu.utils.visualizer import write_wav
+
+    cfg = SyntheticConfig(with_video=args.video, video_frames=args.n_frames,
+                          video_size=args.frame_size)
+    ds = SyntheticAVDataset(cfg)
+    os.makedirs(args.out, exist_ok=True)
+    for i in range(args.n):
+        item = ds[i]
+        stem = os.path.join(args.out, f"clip{i:05d}")
+        write_wav(stem + ".wav", item["wav"], cfg.sample_rate)
+        if args.video:
+            np.save(stem + ".npy",
+                    (item["frames"] * 255).astype(np.uint8))
+    print(f"wrote {args.n} clips to {args.out}")
+
+
+def cmd_audio(args):
+    from viai_tpu.data.audio import load_wav
+    from viai_tpu.utils.visualizer import write_wav
+
+    os.makedirs(args.out, exist_ok=True)
+    n = 0
+    for dirpath, _, files in os.walk(args.root):
+        for f in sorted(files):
+            if not f.lower().endswith((".wav", ".wave")):
+                continue
+            wav = load_wav(os.path.join(dirpath, f), args.sample_rate)
+            write_wav(os.path.join(args.out, f"{n:05d}.wav"), wav,
+                      args.sample_rate)
+            n += 1
+    print(f"resampled {n} files to {args.out}")
+
+
+def cmd_frames(args):
+    from viai_tpu.data.av import _load_frames_video  # noqa: SLF001
+
+    n = 0
+    for dirpath, _, files in os.walk(args.root):
+        for f in sorted(files):
+            if not f.lower().endswith((".mp4", ".avi", ".mkv", ".webm")):
+                continue
+            path = os.path.join(dirpath, f)
+            stem = os.path.splitext(path)[0]
+            arr = _load_frames_video(path, args.n_frames, args.frame_size)
+            np.save(stem + ".npy", (arr * 255).astype(np.uint8))
+            n += 1
+    print(f"extracted frames for {n} videos")
+
+
+def cmd_manifest(args):
+    entries = []
+    for dirpath, _, files in os.walk(args.root):
+        for f in sorted(files):
+            if not f.lower().endswith(".wav"):
+                continue
+            wav = os.path.relpath(os.path.join(dirpath, f), args.root)
+            stem = os.path.splitext(os.path.join(dirpath, f))[0]
+            e = {"audio": wav}
+            if os.path.exists(stem + ".npy"):
+                e["frames"] = os.path.relpath(stem + ".npy", args.root)
+            entries.append(e)
+    k = max(int(len(entries) * args.train_frac), 1)
+    manifest = {"train": entries[:k], "test": entries[k:] or entries[:1]}
+    out = args.out or os.path.join(args.root, "MUSICES.json")
+    with open(out, "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"{len(manifest['train'])} train / {len(manifest['test'])} test "
+          f"clips → {out}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("synthetic")
+    p.add_argument("--out", required=True)
+    p.add_argument("-n", type=int, default=64)
+    p.add_argument("--video", action="store_true")
+    p.add_argument("--n_frames", type=int, default=16)
+    p.add_argument("--frame_size", type=int, default=64)
+    p = sub.add_parser("audio")
+    p.add_argument("--root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--sample_rate", type=int, default=16000)
+    p = sub.add_parser("frames")
+    p.add_argument("--root", required=True)
+    p.add_argument("--n_frames", type=int, default=16)
+    p.add_argument("--frame_size", type=int, default=64)
+    p = sub.add_parser("manifest")
+    p.add_argument("--root", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--train_frac", type=float, default=0.9)
+    args = ap.parse_args()
+    {"synthetic": cmd_synthetic, "audio": cmd_audio,
+     "frames": cmd_frames, "manifest": cmd_manifest}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
