@@ -1,0 +1,107 @@
+"""Torch-twin parity: our nets vs torch CPU twins with imported weights.
+
+SURVEY.md §4 "Parity" row: the reference tree/weights are unavailable
+(SURVEY.md §0), so parity is established against torch twin networks
+built to this survey's spec, fed OUR weights through the .pth
+export/import shim (viai_tpu/io). This proves the interop contract:
+a torch user can consume our checkpoints and reproduce our numbers.
+
+Padding note: flax SAME padding for even kernels pads asymmetrically
+(left 1, right 2 for k=4,s=2); the twins use explicit F.pad.
+"""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+from flax import nnx
+
+from viai_tpu.io import flatten_state, save_networks
+from viai_tpu.nn import DiscriminatorConfig, PatchDiscriminator
+
+
+def _flax_same_pad(x, k, s):
+    """Replicate flax/XLA SAME padding for kernel k, stride s (NCHW)."""
+    ih = x.shape[2]
+    pad = max((-ih) % s + k - s, 0) if ih % s == 0 else max(k - ih % s, 0)
+    lo, hi = pad // 2, pad - pad // 2
+    return F.pad(x, (lo, hi, lo, hi))
+
+
+class TorchPatchD(torch.nn.Module):
+    """CPU twin of PatchDiscriminator (same layer plan, NCHW)."""
+
+    def __init__(self, cfg: DiscriminatorConfig):
+        super().__init__()
+        self.cfg = cfg
+        chans = [cfg.in_channels, cfg.ndf]
+        self.convs = torch.nn.ModuleList()
+        self.norms = torch.nn.ModuleList()
+        self.strides = [2]
+        self.convs.append(torch.nn.Conv2d(cfg.in_channels, cfg.ndf, 4, 2))
+        self.norms.append(torch.nn.Identity())
+        cout = cfg.ndf
+        for n in range(1, cfg.n_layers + 1):
+            cin, cout_prev = cout, cout
+            cout = cfg.ndf * min(2 ** n, 8)
+            stride = 2 if n < cfg.n_layers else 1
+            self.strides.append(stride)
+            self.convs.append(torch.nn.Conv2d(cin, cout, 4, stride))
+            # InstanceNorm-with-affine == GroupNorm(groups=C).
+            self.norms.append(torch.nn.GroupNorm(cout, cout, eps=1e-5))
+            del cout_prev
+        self.head = torch.nn.Conv2d(cout, 1, 4, 1)
+
+    def forward(self, x):  # x NCHW
+        h = x
+        for conv, norm, s in zip(self.convs, self.norms, self.strides):
+            h = conv(_flax_same_pad(h, 4, s))
+            h = norm(h)
+            h = F.leaky_relu(h, 0.2)
+        return self.head(_flax_same_pad(h, 4, 1))
+
+
+def _import_into_torch(twin: TorchPatchD, pth_path: str):
+    sd = torch.load(pth_path, weights_only=True)
+    new_sd = {}
+    for i in range(len(twin.convs)):
+        k = f"convs.{i}.kernel"  # flax (kh, kw, cin, cout)
+        new_sd[f"convs.{i}.weight"] = sd[k].permute(3, 2, 0, 1).contiguous()
+        new_sd[f"convs.{i}.bias"] = sd[f"convs.{i}.bias"]
+        if i > 0:
+            new_sd[f"norms.{i}.weight"] = sd[f"norms.{i}.scale"]
+            new_sd[f"norms.{i}.bias"] = sd[f"norms.{i}.bias"]
+    new_sd["head.weight"] = sd["head.kernel"].permute(3, 2, 0, 1).contiguous()
+    new_sd["head.bias"] = sd["head.bias"]
+    twin.load_state_dict(new_sd)
+
+
+def test_patchgan_matches_torch_twin(tmp_path):
+    cfg = DiscriminatorConfig(in_channels=3, ndf=16, n_layers=3)
+    D = PatchDiscriminator(cfg, nnx.Rngs(0))
+    _, d_state = nnx.split(D)
+    expr = str(tmp_path)
+    save_networks({"D": d_state}, "twin", expr)
+
+    twin = TorchPatchD(cfg).eval()
+    _import_into_torch(twin, f"{expr}/twin_net_D.pth")
+
+    x = np.random.default_rng(0).standard_normal((2, 64, 64, 3)).astype(
+        np.float32
+    )
+    ours = np.asarray(D(x))
+    with torch.no_grad():
+        theirs = twin(torch.from_numpy(x).permute(0, 3, 1, 2))
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
+
+
+def test_flat_key_names_are_stable():
+    """The .pth key schema is part of the public checkpoint contract."""
+    cfg = DiscriminatorConfig(in_channels=3, ndf=8, n_layers=2)
+    D = PatchDiscriminator(cfg, nnx.Rngs(0))
+    _, d_state = nnx.split(D)
+    keys = set(flatten_state(d_state))
+    assert "convs.0.kernel" in keys
+    assert "head.bias" in keys
+    assert any(k.startswith("norms.1.") for k in keys)

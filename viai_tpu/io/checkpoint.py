@@ -36,6 +36,10 @@ def _key_str(path) -> str:
     for p in path:
         name = getattr(p, "key", getattr(p, "idx", getattr(p, "name", p)))
         parts.append(str(name))
+    # nnx wraps every Param leaf in a trailing `.value`; drop it so the
+    # public .pth key schema reads like a torch state dict.
+    if parts and parts[-1] == "value":
+        parts.pop()
     return ".".join(parts)
 
 
