@@ -74,6 +74,7 @@ def main(args=None):
             f"End of epoch {epoch} / {opt.niter + opt.niter_decay} \t "
             f"Time: {time.time() - epoch_start:.1f}s"
         )
+        model.update_learning_rate()
     model.save_networks("latest")
     if hasattr(loader, "close"):
         loader.close()

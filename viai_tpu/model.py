@@ -158,6 +158,26 @@ class VIAIModel:
     def get_current_losses(self) -> dict[str, float]:
         return {k: float(v) for k, v in self._losses.items()}
 
+    def get_current_lr(self) -> float:
+        """Current lr from the optax schedule at the live step count."""
+        sched_kw = dict(
+            niter=getattr(self.opt, "niter", 100),
+            niter_decay=getattr(self.opt, "niter_decay", 100),
+            lr_decay_iters=getattr(self.opt, "lr_decay_iters", 50),
+            steps_per_epoch=max(getattr(self.opt, "steps_per_epoch", 1), 1),
+        )
+        sched = make_schedule(
+            getattr(self.opt, "lr_policy", "constant"),
+            getattr(self.opt, "lr", 2e-4), **sched_kw,
+        )
+        return float(sched(int(self.state["step"])))
+
+    def update_learning_rate(self):
+        """Reference BaseModel API: per-epoch lr update. The schedule is
+        already step-addressed inside the compiled optimizer; this just
+        reports, matching the reference's printout."""
+        print(f"learning rate = {self.get_current_lr():.7f}")
+
     def test(self, key=None):
         """No-grad inference: → inpainted waveform batch (host numpy)."""
         key = key if key is not None else jax.random.key(0)

@@ -168,7 +168,7 @@ def griffin_lim_pallas(
 
         jax.lax.fori_loop(0, n_iter, body, 0)
         istft_to_wav()
-        out_ref[0, :] = wav_s[0, pad : pad + T]
+        out_ref[0, 0, :] = wav_s[0, pad : pad + T]
 
     in_specs = [
             pl.BlockSpec((1, F, n_bins), lambda b: (b, 0, 0),
@@ -190,12 +190,14 @@ def griffin_lim_pallas(
             pl.BlockSpec((Jpad, Jpad), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
     ]
-    out_specs = pl.BlockSpec((1, T), lambda b: (b, 0),
+    # Output is (B, 1, T) so each block's trailing two dims equal the
+    # array dims (TPU block-shape rule); squeezed on return.
+    out_specs = pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, T), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, T), jnp.float32),
         grid=(B,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -217,3 +219,4 @@ def griffin_lim_pallas(
         jnp.asarray(J_left),
         jnp.asarray(J_right),
     )
+    return out.reshape(B, T)

@@ -48,3 +48,50 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (pod-scale) support — SURVEY.md §2.3 / BASELINE.json [B:11]:
+# "pod-scale data-parallel GAN training on v4-32". Same binary on every
+# host; jax.distributed wires the coordinator, the mesh spans all
+# devices, and each host contributes its process-local batch shard.
+# ---------------------------------------------------------------------------
+
+def maybe_initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialize jax.distributed when running multi-host.
+
+    No-ops (returns False) in single-process runs, so the same train.py
+    works on one chip and on a pod. Env vars (JAX_COORDINATOR_ADDRESS /
+    standard TPU metadata) are honored when args are None.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def global_batch_from_local(local_batch, mesh: Mesh):
+    """Per-host numpy shard → global device array sharded over 'data'.
+
+    Each process passes its LOCAL rows; the result is the logical global
+    batch of size local_rows * process_count, batch-sharded over the
+    mesh (jax.make_array_from_process_local_data handles placement).
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_batch,
+    )
