@@ -129,6 +129,39 @@ def main():
         log({"exp": exp, "batch": batch, "clips_per_s": round(cps, 1),
              "ms_per_call": round(ms, 2)})
 
+    elif exp.startswith("train_"):
+        # train_<dtype>[_seq]: full GAN train step (G 29M + D 2.8M).
+        from flax import nnx
+
+        from viai_tpu.nn import define_D, define_G
+        from viai_tpu.train import TrainConfig, adam, init_state, \
+            make_train_step
+        import dataclasses
+
+        parts = exp.split("_")
+        dtype = parts[1]
+        order = "sequential" if "seq" in parts else "simultaneous"
+        cfg = dataclasses.replace(TrainConfig(), update_order=order)
+        G = define_G(dtype=dtype)
+        D = define_D(input_nc=3, dtype=dtype)
+        g_tx, d_tx = adam(2e-4), adam(2e-4)
+        (g_def, d_def, v_def), state = init_state(G, D, None, g_tx, d_tx,
+                                                  cfg)
+        step = make_train_step(g_def, d_def, v_def, g_tx, d_tx, cfg)
+        key = jax.random.key(0)
+        state, m = step(state, wav, None, key)
+        np.asarray(m["loss_G"])  # force
+        t0 = time.perf_counter()
+        n = 10
+        for i in range(n):
+            state, m = step(state, wav, None, jax.random.fold_in(key, i))
+        np.asarray(m["loss_G"])
+        dt = time.perf_counter() - t0
+        log({"exp": exp, "batch": batch,
+             "steps_per_s": round(n / dt, 3),
+             "clips_per_s": round(batch * n / dt, 1),
+             "ms_per_step": round(dt / n * 1000, 2)})
+
     else:
         raise SystemExit(f"unknown experiment {exp}")
 

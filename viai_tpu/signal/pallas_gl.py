@@ -142,13 +142,14 @@ def griffin_lim_pallas(
                 + jnp.dot(magv * im_s[:], isin_ref[:],
                           preferred_element_type=jnp.float32)
             ) * winv[None, :]
-            # Chunked overlap-add: K static block adds.
-            acc = jnp.zeros((n_rows, hop), jnp.float32)
+            # Chunked overlap-add: K static block read-modify-writes on
+            # the scratch ref (scatter-add is not lowerable in Mosaic).
+            wav_s[:] = jnp.zeros((n_rows, hop), jnp.float32)
             for c in range(K):
-                acc = acc.at[c : c + F, :].add(
-                    fr_s[:, c * hop : (c + 1) * hop]
+                wav_s[c : c + F, :] = (
+                    wav_s[c : c + F, :] + fr_s[:, c * hop : (c + 1) * hop]
                 )
-            wav_s[:] = acc * env_ref[:]               # env_ref is 1/env
+            wav_s[:] = wav_s[:] * env_ref[:]          # env_ref is 1/env
 
         def project():
             """wav2d → new (re, im) into pre_s/pim_s (reflect + STFT)."""
