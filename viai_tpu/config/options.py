@@ -80,6 +80,13 @@ class BaseOptions:
         p.add_argument("--fusion_channels", type=int, default=256)
         p.add_argument("--gl_iters", type=int, default=32,
                        help="Griffin-Lim iterations at test time")
+        p.add_argument("--gl_backend", type=str, default="xla",
+                       choices=["xla", "pallas"],
+                       help="Griffin-Lim impl: XLA ops or the "
+                            "VMEM-resident Pallas kernel (faster on TPU)")
+        p.add_argument("--remat", action="store_true",
+                       help="rematerialize G forward in backward "
+                            "(less activation memory, ~30%% more FLOPs)")
         p.add_argument("--n_data_devices", type=int, default=0,
                        help="data-parallel mesh size; 0 = all devices")
         self.initialized = True

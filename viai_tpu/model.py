@@ -61,6 +61,8 @@ def train_config_from_opt(opt) -> TrainConfig:
         pool_size=getattr(opt, "pool_size", 0) if getattr(
             opt, "isTrain", True) else 0,
         n_bins=opt.n_fft // 2 + 1,
+        gl_backend=getattr(opt, "gl_backend", "xla"),
+        remat=getattr(opt, "remat", False),
     )
 
 

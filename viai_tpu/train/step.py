@@ -56,6 +56,10 @@ class TrainConfig:
     # so the generator sees longer context per pixel; pair with larger
     # MaskConfig gaps. G input_nc becomes 3.
     multi_res: bool = False
+    # Rematerialize the G forward in backward (jax.checkpoint): trades
+    # ~30% more FLOPs for O(depth) less activation HBM — lets batch
+    # sizes scale on memory-bound chips.
+    remat: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -147,13 +151,18 @@ def make_train_step(
     (SURVEY.md §2.1 "Task models").
     """
 
-    def g_forward(g_state, v_state, batch, frames):
+    def _g_forward(g_state, v_state, batch, frames):
         G = nnx.merge(g_def, g_state)
         feats = None
         if cfg.use_video:
             V = nnx.merge(v_def, v_state)
             feats = V(frames)
         return G(_g_input(batch), feats)
+
+    g_forward = (
+        jax.checkpoint(_g_forward, static_argnums=())
+        if cfg.remat else _g_forward
+    )
 
     def d_logits(d_state, batch, img):
         D = nnx.merge(d_def, d_state)
