@@ -31,8 +31,12 @@ def test_pallas_gl_matches_jnp(n_iter):
     out = griffin_lim_pallas(mag, CFG, n_iter=n_iter, length=n,
                              interpret=True)
     assert out.shape == ref.shape
+    # v3 computes OLA as an MXU matmul — summation order differs from
+    # the jnp shifted-add version; clip edges (tiny window env) amplify
+    # fp32 rounding, hence the 1e-3 atol (same scale as the torch-istft
+    # parity tolerance in test_stft.py).
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
+        np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3
     )
 
 

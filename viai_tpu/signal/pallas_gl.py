@@ -11,19 +11,20 @@ frame buffers, the waveform — lives in VMEM across every iteration, so
 the only HBM traffic for a whole 32-iteration reconstruction is one
 read of the magnitude and one write of the waveform.
 
-Kernel layout decisions (v2):
-  * DFT/iDFT are dense-basis matmuls on the MXU, with frames padded to
-    Npad = ceil(n_fft/hop)*hop columns (zero window/zero basis tail).
-  * The waveform lives as a 2D (rows, hop) buffer. Overlap-add and
-    framing are then K = Npad/hop STATIC block operations
-    (wav2d[c:c+F] += frames[:, c*hop:(c+1)*hop]) instead of F
-    sequential per-frame row ops — pure wide VPU work. (v1 looped all
-    F frames per iteration; this was the kernel's bottleneck.)
-  * librosa's trim+reflect-pad between iterations is reproduced
-    in-kernel: edge rows are copied into a small flat scratch, the
-    reflection is computed as an anti-diagonal reversal MATMUL
-    (lane-reversal-free), and the rows are written back.
-  * Grid = one clip per program; per-clip VMEM ~= 3 MB.
+Kernel evolution (kept honest by TPU measurements, scripts/tpu_results.jsonl):
+  v1: per-frame fori_loop OLA/framing        →  94.8 ms / 128 clips
+  v2: K chunked block RMWs (misaligned rows) → 110.2 ms (sublane-shift
+      relayouts cost more than the loop they replaced)
+  v3 (this): EVERYTHING on the MXU —
+    * Hann window folded into the DFT bases (zero VPU window passes),
+    * overlap-add as ONE matmul with a static 0/1 shift matrix S:
+      wav2d(rows, hop) = S @ stack_of_frame_chunks,
+    * framing as the transposed matmul S^T @ wav2d,
+    * chunk (de)interleaving via 8-sublane-ALIGNED static copies
+      (frame count padded to a multiple of 8),
+    * reflect-padding as anti-diagonal reversal matmuls.
+  The only remaining VPU work per iteration: the 1/env multiply and the
+  momentum/phase-normalize — both dense and wide.
 
 Semantics match griffin_lim.py exactly (librosa fast-GL): momentum
 m/(1+m), window-sum-square normalization, zero-phase init.
@@ -89,67 +90,82 @@ def griffin_lim_pallas(
 
     K = math.ceil(N / hop)             # frames overlapping any sample
     Npad = K * hop                     # frame width padded to hop grid
-    n_rows = F + K - 1                 # wav2d rows; n_rows*hop >= total
-    total_pad = n_rows * hop
+    F8 = _round_up(F, 8)               # sublane-aligned frame count
+    n_rows = F + K - 1                 # true wav2d rows
+    n_rows8 = _round_up(n_rows, 8)
 
-    # Host-precomputed constants (HBM->VMEM inputs), padded to Npad.
-    cos_b, sin_b = _dft_bases(N)                      # (N, n_bins)
-    icos, isin = _idft_bases(N)                       # (n_bins, N)
-    cos_p = np.zeros((Npad, n_bins), np.float32)
-    sin_p = np.zeros((Npad, n_bins), np.float32)
-    cos_p[:N], sin_p[:N] = cos_b, sin_b
-    icos_p = np.zeros((n_bins, Npad), np.float32)
-    isin_p = np.zeros((n_bins, Npad), np.float32)
-    icos_p[:, :N], isin_p[:, :N] = icos, isin
+    # ---- host-precomputed constants (HBM→VMEM inputs) --------------------
     win = np.zeros(Npad, np.float32)
     win[:N] = _padded_window(cfg)
+    cos_b, sin_b = _dft_bases(N)                      # (N, n_bins)
+    icos, isin = _idft_bases(N)                       # (n_bins, N)
+    # Window folded into the bases: forward uses win*cos per row,
+    # inverse applies win per output sample (column).
+    cosw = np.zeros((Npad, n_bins), np.float32)
+    sinw = np.zeros((Npad, n_bins), np.float32)
+    cosw[:N] = win[:N, None] * cos_b
+    sinw[:N] = win[:N, None] * sin_b
+    icosw = np.zeros((n_bins, Npad), np.float32)
+    isinw = np.zeros((n_bins, Npad), np.float32)
+    icosw[:, :N] = icos * win[None, :N]
+    isinw[:, :N] = isin * win[None, :N]
+
+    # OLA shift matrix: out2d[r] = Σ_{c,f: f+c=r} chunks[c*F8 + f].
+    S = np.zeros((n_rows8, K * F8), np.float32)
+    for c in range(K):
+        for f in range(F):
+            S[f + c, c * F8 + f] = 1.0
+    St = S.T.copy()                                   # framing matrix
+
     w2 = win.astype(np.float64) ** 2
-    env = np.zeros(total_pad, np.float64)
+    env = np.zeros(n_rows8 * hop, np.float64)
     for f in range(F):
         env[f * hop : f * hop + Npad] += w2
-    inv_env = (1.0 / np.maximum(env, 1e-10)).astype(np.float32)
-    inv_env2d = inv_env.reshape(n_rows, hop)
+    inv_env2d = (
+        (1.0 / np.maximum(env, 1e-10)).astype(np.float32)
+        .reshape(n_rows8, hop)
+    )
 
     Jpad = _round_up(pad, 128)
     assert pad + 1 + Jpad <= total, "clip too short for reflect windows"
     J_left = _reversal_matrix(pad, Jpad, end_aligned=False)
     J_right = _reversal_matrix(pad, Jpad, end_aligned=True)
 
-    # Edge-scratch geometry (static): rows are staged into a flat buffer
-    # so the reflection matmuls can address contiguous lanes.
-    lrows = math.ceil((pad + 1 + Jpad) / hop)        # rows for left edge
-    r_src_lo = (total - pad - 1 - Jpad) // hop       # first row, right edge
+    # Edge staging geometry (static).
+    lrows = math.ceil((pad + 1 + Jpad) / hop)
+    r_src_lo = (total - pad - 1 - Jpad) // hop
     r_rows = n_rows - r_src_lo
-    r_base = r_src_lo * hop                          # flat offset of row 0'
-    out_rows = math.ceil((pad + T) / hop)            # rows holding output
-    ewidth = max(lrows, r_rows, out_rows) * hop      # one shared scratch
+    r_base = r_src_lo * hop
+    out_rows = math.ceil((pad + T) / hop)
+    ewidth = max(lrows, r_rows, out_rows) * hop
 
-    def kernel(mag_ref, cos_ref, sin_ref, icos_ref, isin_ref, win_ref,
-               env_ref, jl_ref, jr_ref, out_ref, re_s, im_s, pre_s,
-               pim_s, fr_s, wav_s, edge_s):
-        magv = mag_ref[0]                             # (F, n_bins)
+    f32 = jnp.float32
+
+    def kernel(mag_ref, cosw_ref, sinw_ref, icosw_ref, isinw_ref,
+               s_ref, st_ref, env_ref, jl_ref, jr_ref, out_ref,
+               re_s, im_s, pre_s, pim_s, fr_s, chunk_s, wav_s, edge_s):
+        magv = mag_ref[0]                             # (F8, n_bins)
         re_s[:] = jnp.ones_like(magv)                 # zero phase: e^{i0}
         im_s[:] = jnp.zeros_like(magv)
         pre_s[:] = jnp.zeros_like(magv)
         pim_s[:] = jnp.zeros_like(magv)
-        winv = win_ref[0]                             # (Npad,)
 
         def istft_to_wav():
             """(re_s, im_s) phase + mag → normalized wav2d in wav_s."""
             fr_s[:] = (
-                jnp.dot(magv * re_s[:], icos_ref[:],
-                        preferred_element_type=jnp.float32)
-                + jnp.dot(magv * im_s[:], isin_ref[:],
-                          preferred_element_type=jnp.float32)
-            ) * winv[None, :]
-            # Chunked overlap-add: K static block read-modify-writes on
-            # the scratch ref (scatter-add is not lowerable in Mosaic).
-            wav_s[:] = jnp.zeros((n_rows, hop), jnp.float32)
+                jnp.dot(magv * re_s[:], icosw_ref[:],
+                        preferred_element_type=f32)
+                + jnp.dot(magv * im_s[:], isinw_ref[:],
+                          preferred_element_type=f32)
+            )
+            # Interleave frame chunks (aligned copies), then OLA = S @ C.
             for c in range(K):
-                wav_s[c : c + F, :] = (
-                    wav_s[c : c + F, :] + fr_s[:, c * hop : (c + 1) * hop]
+                chunk_s[c * F8 : (c + 1) * F8, :] = (
+                    fr_s[:, c * hop : (c + 1) * hop]
                 )
-            wav_s[:] = wav_s[:] * env_ref[:]          # env_ref is 1/env
+            wav_s[:] = jnp.dot(
+                s_ref[:], chunk_s[:], preferred_element_type=f32
+            ) * env_ref[:]
 
         def project():
             """wav2d → new (re, im) into pre_s/pim_s (reflect + STFT)."""
@@ -157,8 +173,7 @@ def griffin_lim_pallas(
             for r in range(lrows):
                 edge_s[0, r * hop : (r + 1) * hop] = wav_s[r, :]
             lsrc = edge_s[0, pad + 1 : pad + 1 + Jpad].reshape(1, Jpad)
-            lrev = jnp.dot(lsrc, jl_ref[:],
-                           preferred_element_type=jnp.float32)
+            lrev = jnp.dot(lsrc, jl_ref[:], preferred_element_type=f32)
             edge_s[0, 0:pad] = lrev[0, 0:pad]
             for r in range(math.ceil(pad / hop)):
                 wav_s[r, :] = edge_s[0, r * hop : (r + 1) * hop]
@@ -168,21 +183,22 @@ def griffin_lim_pallas(
             rsrc = edge_s[
                 0, total - pad - 1 - Jpad - r_base : total - pad - 1 - r_base
             ].reshape(1, Jpad)
-            rrev = jnp.dot(rsrc, jr_ref[:],
-                           preferred_element_type=jnp.float32)
+            rrev = jnp.dot(rsrc, jr_ref[:], preferred_element_type=f32)
             edge_s[0, total - pad - r_base : total - r_base] = rrev[0, 0:pad]
             for i in range(r_rows):
                 wav_s[r_src_lo + i, :] = edge_s[0, i * hop : (i + 1) * hop]
-            # --- chunked framing + window + forward DFT ---
+            # --- framing = S^T @ wav2d, de-interleave, forward DFT ---
+            chunk_s[:] = jnp.dot(
+                st_ref[:], wav_s[:], preferred_element_type=f32
+            )
             for c in range(K):
                 fr_s[:, c * hop : (c + 1) * hop] = (
-                    wav_s[c : c + F, :]
-                    * winv[c * hop : (c + 1) * hop][None, :]
+                    chunk_s[c * F8 : (c + 1) * F8, :]
                 )
-            pre_s[:] = jnp.dot(fr_s[:], cos_ref[:],
-                               preferred_element_type=jnp.float32)
-            pim_s[:] = jnp.dot(fr_s[:], sin_ref[:],
-                               preferred_element_type=jnp.float32)
+            pre_s[:] = jnp.dot(fr_s[:], cosw_ref[:],
+                               preferred_element_type=f32)
+            pim_s[:] = jnp.dot(fr_s[:], sinw_ref[:],
+                               preferred_element_type=f32)
 
         def body(_, carry):
             istft_to_wav()
@@ -205,30 +221,28 @@ def griffin_lim_pallas(
             edge_s[0, r * hop : (r + 1) * hop] = wav_s[r, :]
         out_ref[0, 0, :] = edge_s[0, pad : pad + T]
 
+    full = lambda shape: (lambda b: tuple(0 for _ in shape))  # noqa: E731
+
+    def spec2(shape):
+        return pl.BlockSpec(shape, full(shape), memory_space=pltpu.VMEM)
+
     in_specs = [
-        pl.BlockSpec((1, F, n_bins), lambda b: (b, 0, 0),
+        pl.BlockSpec((1, F8, n_bins), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((Npad, n_bins), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Npad, n_bins), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_bins, Npad), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_bins, Npad), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Npad), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_rows, hop), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Jpad, Jpad), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Jpad, Jpad), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),
+        spec2((Npad, n_bins)),       # cosw
+        spec2((Npad, n_bins)),       # sinw
+        spec2((n_bins, Npad)),       # icosw
+        spec2((n_bins, Npad)),       # isinw
+        spec2((n_rows8, K * F8)),    # S
+        spec2((K * F8, n_rows8)),    # S^T
+        spec2((n_rows8, hop)),       # 1/env
+        spec2((Jpad, Jpad)),         # J_left
+        spec2((Jpad, Jpad)),         # J_right
     ]
-    # Output is (B, 1, T) so each block's trailing two dims equal the
-    # array dims (TPU block-shape rule); squeezed on return.
     out_specs = pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
+
+    mag8 = jnp.pad(mag.astype(jnp.float32), ((0, 0), (0, F8 - F), (0, 0)))
 
     out = pl.pallas_call(
         kernel,
@@ -237,20 +251,21 @@ def griffin_lim_pallas(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((F, n_bins), jnp.float32),   # re
-            pltpu.VMEM((F, n_bins), jnp.float32),   # im
-            pltpu.VMEM((F, n_bins), jnp.float32),   # prev rebuilt re
-            pltpu.VMEM((F, n_bins), jnp.float32),   # prev rebuilt im
-            pltpu.VMEM((F, Npad), jnp.float32),     # frame buffer
-            pltpu.VMEM((n_rows, hop), jnp.float32),  # waveform (2D rows)
-            pltpu.VMEM((1, ewidth), jnp.float32),   # edge/staging scratch
+            pltpu.VMEM((F8, n_bins), jnp.float32),    # re
+            pltpu.VMEM((F8, n_bins), jnp.float32),    # im
+            pltpu.VMEM((F8, n_bins), jnp.float32),    # prev rebuilt re
+            pltpu.VMEM((F8, n_bins), jnp.float32),    # prev rebuilt im
+            pltpu.VMEM((F8, Npad), jnp.float32),      # frame buffer
+            pltpu.VMEM((K * F8, hop), jnp.float32),   # chunk stack
+            pltpu.VMEM((n_rows8, hop), jnp.float32),  # waveform (2D rows)
+            pltpu.VMEM((1, ewidth), jnp.float32),     # edge/staging
         ],
         interpret=interpret,
     )(
-        mag.astype(jnp.float32),
-        jnp.asarray(cos_p), jnp.asarray(sin_p),
-        jnp.asarray(icos_p), jnp.asarray(isin_p),
-        jnp.asarray(win).reshape(1, Npad),
+        mag8,
+        jnp.asarray(cosw), jnp.asarray(sinw),
+        jnp.asarray(icosw), jnp.asarray(isinw),
+        jnp.asarray(S), jnp.asarray(St),
         jnp.asarray(inv_env2d),
         jnp.asarray(J_left),
         jnp.asarray(J_right),
