@@ -28,7 +28,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--gl_iters", type=int, default=32)
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=["float32", "bfloat16"],

@@ -70,7 +70,7 @@ def main():
             return griffin_lim(mag, cfg, n_iter=32, length=32000)
 
         f = jax.jit(gl_chain)
-        cps, ms = chain_timed(f, wav, 5, batch)
+        cps, ms = chain_timed(f, wav, 20, batch)
         log({"exp": exp, "batch": batch, "clips_per_s": round(cps, 1),
              "ms_per_call": round(ms, 2)})
 
@@ -96,7 +96,7 @@ def main():
             return jnp.repeat(out[:, 0, :125, 0], 256, axis=-1)
 
         f = jax.jit(fwd)
-        cps, ms = chain_timed(f, wav, 5, batch)
+        cps, ms = chain_timed(f, wav, 20, batch)
         log({"exp": exp, "batch": batch, "clips_per_s": round(cps, 1),
              "ms_per_call": round(ms, 2)})
 
@@ -125,7 +125,7 @@ def main():
         def fwd(w):
             return infer(g_state, v, w, key)
 
-        cps, ms = chain_timed(fwd, wav, 5, batch)
+        cps, ms = chain_timed(fwd, wav, 20, batch)
         log({"exp": exp, "batch": batch, "clips_per_s": round(cps, 1),
              "ms_per_call": round(ms, 2)})
 
@@ -152,7 +152,7 @@ def main():
         state, m = step(state, wav, None, key)
         np.asarray(m["loss_G"])  # force
         t0 = time.perf_counter()
-        n = 10
+        n = 30
         for i in range(n):
             state, m = step(state, wav, None, jax.random.fold_in(key, i))
         np.asarray(m["loss_G"])

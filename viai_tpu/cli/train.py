@@ -58,6 +58,10 @@ def main(args=None):
             model.set_input(batch)
             model.optimize_parameters()
             total_steps += 1
+            if not opt.no_html and total_steps % opt.display_freq == 0:
+                visualizer.display_current_results(
+                    model.get_current_visuals(), epoch
+                )
             if total_steps % opt.print_freq == 0:
                 visualizer.print_current_losses(
                     epoch, i, model.get_current_losses(),

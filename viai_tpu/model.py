@@ -180,6 +180,28 @@ class VIAIModel:
         reports, matching the reference's printout."""
         print(f"learning rate = {self.get_current_lr():.7f}")
 
+    def get_current_visuals(self) -> dict[str, np.ndarray]:
+        """Reference BaseModel API: current input/output spectrogram
+        images scaled to [0, 1] (H, W) numpy arrays for display."""
+        if self._input is None:
+            return {}
+        from .train.step import preprocess
+
+        key = jax.random.fold_in(self._key, 0)
+        pre = preprocess(self._input["wav"], key, self.cfg)
+        out = {
+            "real": np.asarray((pre["real_img"][0, :, :, 0] + 1) / 2),
+            "masked": np.asarray((pre["masked_img"][0, :, :, 0] + 1) / 2),
+        }
+        fake = self.test(key)
+        from .signal import stft_magnitude
+        from .signal.mel import compress
+
+        mag = stft_magnitude(jnp.asarray(fake[:1]), self.cfg.stft)
+        img = compress(jnp.swapaxes(mag, -1, -2))
+        out["inpainted"] = np.asarray((img[0] + 1) / 2)
+        return out
+
     def test(self, key=None):
         """No-grad inference: → inpainted waveform batch (host numpy)."""
         key = key if key is not None else jax.random.key(0)

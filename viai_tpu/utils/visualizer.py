@@ -32,6 +32,40 @@ class Visualizer:
                 "================\n"
             )
 
+    def display_current_results(self, visuals: dict, epoch: int):
+        """Reference Visualizer API: write current spectrogram images to
+        the experiment's web/ page (visdom replaced by static HTML)."""
+        web_dir = os.path.join(self.expr_dir, "web")
+        img_dir = os.path.join(web_dir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        for label, img in visuals.items():
+            spec_to_png(
+                np.asarray(img),
+                os.path.join(img_dir, f"epoch{epoch:03d}_{label}.png"),
+            )
+        # Rebuild a simple latest-first index.
+        rows = sorted(
+            {f.split("_")[0] for f in os.listdir(img_dir)}, reverse=True
+        )
+        labels = sorted({f.split("_", 1)[1] for f in os.listdir(img_dir)})
+        parts = [
+            "<!doctype html><html><head><meta charset='utf-8'>",
+            f"<title>{self.name}</title></head><body "
+            "style='background:#111;color:#eee;font-family:sans-serif'>",
+            f"<h1>{self.name}</h1>",
+        ]
+        for r in rows:
+            parts.append(f"<h3>{r}</h3>")
+            for lb in labels:
+                if os.path.exists(os.path.join(img_dir, f"{r}_{lb}")):
+                    parts.append(
+                        f"<img src='images/{r}_{lb}' width=256 "
+                        f"title='{lb}'> "
+                    )
+        parts.append("</body></html>")
+        with open(os.path.join(web_dir, "index.html"), "w") as f:
+            f.write("\n".join(parts))
+
     def print_current_losses(self, epoch, iters, losses: dict, t_step=None):
         msg = f"(epoch: {epoch}, iters: {iters}"
         if t_step is not None:
