@@ -9,22 +9,20 @@ This kernel goes further than the jnp version (griffin_lim.py, which
 XLA already keeps on-device): ALL per-clip state — magnitude, phase,
 frame buffers, the waveform — lives in VMEM across every iteration, so
 the only HBM traffic for a whole 32-iteration reconstruction is one
-read of the magnitude and one write of the waveform.
+read of the magnitude and one write of the waveform. DFT/iDFT are
+dense-basis matmuls on the MXU (with the Hann window FOLDED INTO the
+bases — no separate window passes); framing/overlap-add are VMEM
+dynamic-slice row ops; reflect-padding is reproduced via anti-diagonal
+reversal matmuls; one clip per grid program.
 
-Kernel evolution (kept honest by TPU measurements, scripts/tpu_results.jsonl):
+Kernel evolution, kept honest by TPU measurements
+(scripts/tpu_results.jsonl; XLA-ops GL baseline: 125 ms / 128 clips):
   v1: per-frame fori_loop OLA/framing        →  94.8 ms / 128 clips
-  v2: K chunked block RMWs (misaligned rows) → 110.2 ms (sublane-shift
-      relayouts cost more than the loop they replaced)
-  v3 (this): EVERYTHING on the MXU —
-    * Hann window folded into the DFT bases (zero VPU window passes),
-    * overlap-add as ONE matmul with a static 0/1 shift matrix S:
-      wav2d(rows, hop) = S @ stack_of_frame_chunks,
-    * framing as the transposed matmul S^T @ wav2d,
-    * chunk (de)interleaving via 8-sublane-ALIGNED static copies
-      (frame count padded to a multiple of 8),
-    * reflect-padding as anti-diagonal reversal matmuls.
-  The only remaining VPU work per iteration: the 1/env multiply and the
-  momentum/phase-normalize — both dense and wide.
+  v2: K chunked block RMWs (misaligned rows) → 110.2 ms — sublane-shift
+      relayouts cost more than the loop they replaced; reverted
+  v3: OLA/framing as shift-matrix MXU matmuls → Mosaic compile did not
+      terminate in 40 min; abandoned (see git history for the kernel)
+  v4 (this): v1 structure + window folded into the DFT bases.
 
 Semantics match griffin_lim.py exactly (librosa fast-GL): momentum
 m/(1+m), window-sum-square normalization, zero-phase init.
@@ -81,124 +79,90 @@ def griffin_lim_pallas(
     N = cfg.n_fft
     hop = cfg.hop_length
     pad = N // 2
-    total = hop * (F - 1) + N          # true OLA output length
+    total = hop * (F - 1) + N          # OLA output length (= padded wav)
     T = total - 2 * pad                # trimmed waveform length
     if length is None:
         length = T
     assert length == T, f"length must be {T} for this frame count"
     beta = momentum / (1.0 + momentum)
 
-    K = math.ceil(N / hop)             # frames overlapping any sample
-    Npad = K * hop                     # frame width padded to hop grid
-    F8 = _round_up(F, 8)               # sublane-aligned frame count
-    n_rows = F + K - 1                 # true wav2d rows
-    n_rows8 = _round_up(n_rows, 8)
-
-    # ---- host-precomputed constants (HBM→VMEM inputs) --------------------
-    win = np.zeros(Npad, np.float32)
-    win[:N] = _padded_window(cfg)
+    # Host-precomputed constants; the Hann window is folded into both
+    # basis matrices (istft applies win per output sample = per column;
+    # stft applies win per input sample = per row).
+    win = _padded_window(cfg)                         # (N,)
     cos_b, sin_b = _dft_bases(N)                      # (N, n_bins)
     icos, isin = _idft_bases(N)                       # (n_bins, N)
-    # Window folded into the bases: forward uses win*cos per row,
-    # inverse applies win per output sample (column).
-    cosw = np.zeros((Npad, n_bins), np.float32)
-    sinw = np.zeros((Npad, n_bins), np.float32)
-    cosw[:N] = win[:N, None] * cos_b
-    sinw[:N] = win[:N, None] * sin_b
-    icosw = np.zeros((n_bins, Npad), np.float32)
-    isinw = np.zeros((n_bins, Npad), np.float32)
-    icosw[:, :N] = icos * win[None, :N]
-    isinw[:, :N] = isin * win[None, :N]
-
-    # OLA shift matrix: out2d[r] = Σ_{c,f: f+c=r} chunks[c*F8 + f].
-    S = np.zeros((n_rows8, K * F8), np.float32)
-    for c in range(K):
-        for f in range(F):
-            S[f + c, c * F8 + f] = 1.0
-    St = S.T.copy()                                   # framing matrix
-
+    cosw = (win[:, None] * cos_b).astype(np.float32)
+    sinw = (win[:, None] * sin_b).astype(np.float32)
+    icosw = (icos * win[None, :]).astype(np.float32)
+    isinw = (isin * win[None, :]).astype(np.float32)
     w2 = win.astype(np.float64) ** 2
-    env = np.zeros(n_rows8 * hop, np.float64)
+    env = np.zeros(total, np.float64)
     for f in range(F):
-        env[f * hop : f * hop + Npad] += w2
-    inv_env2d = (
-        (1.0 / np.maximum(env, 1e-10)).astype(np.float32)
-        .reshape(n_rows8, hop)
-    )
-
+        env[f * hop : f * hop + N] += w2
+    inv_env = (1.0 / np.maximum(env, 1e-10)).astype(np.float32)
     Jpad = _round_up(pad, 128)
     assert pad + 1 + Jpad <= total, "clip too short for reflect windows"
     J_left = _reversal_matrix(pad, Jpad, end_aligned=False)
     J_right = _reversal_matrix(pad, Jpad, end_aligned=True)
 
-    # Edge staging geometry (static).
-    lrows = math.ceil((pad + 1 + Jpad) / hop)
-    r_src_lo = (total - pad - 1 - Jpad) // hop
-    r_rows = n_rows - r_src_lo
-    r_base = r_src_lo * hop
-    out_rows = math.ceil((pad + T) / hop)
-    ewidth = max(lrows, r_rows, out_rows) * hop
-
-    f32 = jnp.float32
-
     def kernel(mag_ref, cosw_ref, sinw_ref, icosw_ref, isinw_ref,
-               s_ref, st_ref, env_ref, jl_ref, jr_ref, out_ref,
-               re_s, im_s, pre_s, pim_s, fr_s, chunk_s, wav_s, edge_s):
-        magv = mag_ref[0]                             # (F8, n_bins)
+               env_ref, jl_ref, jr_ref, out_ref, re_s, im_s, pre_s,
+               pim_s, fr_s, wav_s):
+        magv = mag_ref[0]                             # (F, n_bins)
         re_s[:] = jnp.ones_like(magv)                 # zero phase: e^{i0}
         im_s[:] = jnp.zeros_like(magv)
         pre_s[:] = jnp.zeros_like(magv)
         pim_s[:] = jnp.zeros_like(magv)
 
         def istft_to_wav():
-            """(re_s, im_s) phase + mag → normalized wav2d in wav_s."""
+            """(re_s, im_s) phase + mag → normalized padded wav in wav_s."""
             fr_s[:] = (
                 jnp.dot(magv * re_s[:], icosw_ref[:],
-                        preferred_element_type=f32)
+                        preferred_element_type=jnp.float32)
                 + jnp.dot(magv * im_s[:], isinw_ref[:],
-                          preferred_element_type=f32)
+                          preferred_element_type=jnp.float32)
             )
-            # Interleave frame chunks (aligned copies), then OLA = S @ C.
-            for c in range(K):
-                chunk_s[c * F8 : (c + 1) * F8, :] = (
-                    fr_s[:, c * hop : (c + 1) * hop]
-                )
-            wav_s[:] = jnp.dot(
-                s_ref[:], chunk_s[:], preferred_element_type=f32
-            ) * env_ref[:]
+            wav_s[:] = jnp.zeros_like(wav_s)
+
+            def ola_body(f, _):
+                seg = wav_s[0, pl.ds(f * hop, N)]
+                wav_s[0, pl.ds(f * hop, N)] = seg + fr_s[f, :]
+                return 0
+
+            jax.lax.fori_loop(0, F, ola_body, 0)
+            wav_s[:] = wav_s[:] * env_ref[:]          # env_ref is 1/env
 
         def project():
-            """wav2d → new (re, im) into pre_s/pim_s (reflect + STFT)."""
-            # --- left reflect: flat[k] ← flat[2p−k], k in [0, p) ---
-            for r in range(lrows):
-                edge_s[0, r * hop : (r + 1) * hop] = wav_s[r, :]
-            lsrc = edge_s[0, pad + 1 : pad + 1 + Jpad].reshape(1, Jpad)
-            lrev = jnp.dot(lsrc, jl_ref[:], preferred_element_type=f32)
-            edge_s[0, 0:pad] = lrev[0, 0:pad]
-            for r in range(math.ceil(pad / hop)):
-                wav_s[r, :] = edge_s[0, r * hop : (r + 1) * hop]
-            # --- right reflect: flat[total−p+k] ← flat[total−p−2−k] ---
-            for i in range(r_rows):
-                edge_s[0, i * hop : (i + 1) * hop] = wav_s[r_src_lo + i, :]
-            rsrc = edge_s[
-                0, total - pad - 1 - Jpad - r_base : total - pad - 1 - r_base
-            ].reshape(1, Jpad)
-            rrev = jnp.dot(rsrc, jr_ref[:], preferred_element_type=f32)
-            edge_s[0, total - pad - r_base : total - r_base] = rrev[0, 0:pad]
-            for i in range(r_rows):
-                wav_s[r_src_lo + i, :] = edge_s[0, i * hop : (i + 1) * hop]
-            # --- framing = S^T @ wav2d, de-interleave, forward DFT ---
-            chunk_s[:] = jnp.dot(
-                st_ref[:], wav_s[:], preferred_element_type=f32
-            )
-            for c in range(K):
-                fr_s[:, c * hop : (c + 1) * hop] = (
-                    chunk_s[c * F8 : (c + 1) * F8, :]
-                )
+            """wav_s (padded layout) → new (re, im) into pre_s/pim_s."""
+            # librosa trims pad then reflect-pads again; reproduce the
+            # edge correction with reversal matmuls.
+            # J_left: (v @ J)[k] = v[pad-1-k] for k < pad.
+            lsrc = wav_s[0, pad + 1 : pad + 1 + Jpad].reshape(1, Jpad)
+            lrev = jnp.dot(lsrc, jl_ref[:],
+                           preferred_element_type=jnp.float32)
+            # lrev[k] = wav[pad+1 + pad-1-k] = wav[2p-k] — the reflected
+            # value for out[k], k in [0, p).
+            wav_s[0, 0:pad] = lrev[0, 0:pad]
+            # J_right: (v @ J)[k] = v[Jpad-1-k] for k < pad, with the
+            # source window end-anchored at total-pad-1.
+            rsrc = wav_s[0, total - pad - 1 - Jpad : total - pad - 1
+                         ].reshape(1, Jpad)
+            rrev = jnp.dot(rsrc, jr_ref[:],
+                           preferred_element_type=jnp.float32)
+            # rrev[k] = wav[total-p-1-Jp + Jp-1-k] = wav[total-p-2-k] —
+            # the reflected value for out[total-p+k], k in [0, p).
+            wav_s[0, total - pad : total] = rrev[0, 0:pad]
+
+            def frame_body(f, _):
+                fr_s[f, :] = wav_s[0, pl.ds(f * hop, N)]
+                return 0
+
+            jax.lax.fori_loop(0, F, frame_body, 0)
             pre_s[:] = jnp.dot(fr_s[:], cosw_ref[:],
-                               preferred_element_type=f32)
+                               preferred_element_type=jnp.float32)
             pim_s[:] = jnp.dot(fr_s[:], sinw_ref[:],
-                               preferred_element_type=f32)
+                               preferred_element_type=jnp.float32)
 
         def body(_, carry):
             istft_to_wav()
@@ -215,34 +179,30 @@ def griffin_lim_pallas(
 
         jax.lax.fori_loop(0, n_iter, body, 0)
         istft_to_wav()
-        # Emit trimmed waveform: flat[pad : pad+T], staged through the
-        # edge scratch because pad is not hop-aligned.
-        for r in range(out_rows):
-            edge_s[0, r * hop : (r + 1) * hop] = wav_s[r, :]
-        out_ref[0, 0, :] = edge_s[0, pad : pad + T]
-
-    full = lambda shape: (lambda b: tuple(0 for _ in shape))  # noqa: E731
-
-    def spec2(shape):
-        return pl.BlockSpec(shape, full(shape), memory_space=pltpu.VMEM)
+        out_ref[0, 0, :] = wav_s[0, pad : pad + T]
 
     in_specs = [
-        pl.BlockSpec((1, F8, n_bins), lambda b: (b, 0, 0),
+        pl.BlockSpec((1, F, n_bins), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        spec2((Npad, n_bins)),       # cosw
-        spec2((Npad, n_bins)),       # sinw
-        spec2((n_bins, Npad)),       # icosw
-        spec2((n_bins, Npad)),       # isinw
-        spec2((n_rows8, K * F8)),    # S
-        spec2((K * F8, n_rows8)),    # S^T
-        spec2((n_rows8, hop)),       # 1/env
-        spec2((Jpad, Jpad)),         # J_left
-        spec2((Jpad, Jpad)),         # J_right
+        pl.BlockSpec((N, n_bins), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, n_bins), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_bins, N), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_bins, N), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, total), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Jpad, Jpad), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Jpad, Jpad), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
+    # Output is (B, 1, T) so each block's trailing two dims equal the
+    # array dims (TPU block-shape rule); squeezed on return.
     out_specs = pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
-
-    mag8 = jnp.pad(mag.astype(jnp.float32), ((0, 0), (0, F8 - F), (0, 0)))
 
     out = pl.pallas_call(
         kernel,
@@ -251,22 +211,19 @@ def griffin_lim_pallas(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((F8, n_bins), jnp.float32),    # re
-            pltpu.VMEM((F8, n_bins), jnp.float32),    # im
-            pltpu.VMEM((F8, n_bins), jnp.float32),    # prev rebuilt re
-            pltpu.VMEM((F8, n_bins), jnp.float32),    # prev rebuilt im
-            pltpu.VMEM((F8, Npad), jnp.float32),      # frame buffer
-            pltpu.VMEM((K * F8, hop), jnp.float32),   # chunk stack
-            pltpu.VMEM((n_rows8, hop), jnp.float32),  # waveform (2D rows)
-            pltpu.VMEM((1, ewidth), jnp.float32),     # edge/staging
+            pltpu.VMEM((F, n_bins), jnp.float32),   # re
+            pltpu.VMEM((F, n_bins), jnp.float32),   # im
+            pltpu.VMEM((F, n_bins), jnp.float32),   # prev rebuilt re
+            pltpu.VMEM((F, n_bins), jnp.float32),   # prev rebuilt im
+            pltpu.VMEM((F, N), jnp.float32),        # frame buffer
+            pltpu.VMEM((1, total), jnp.float32),    # waveform buffer
         ],
         interpret=interpret,
     )(
-        mag8,
+        mag.astype(jnp.float32),
         jnp.asarray(cosw), jnp.asarray(sinw),
         jnp.asarray(icosw), jnp.asarray(isinw),
-        jnp.asarray(S), jnp.asarray(St),
-        jnp.asarray(inv_env2d),
+        jnp.asarray(inv_env).reshape(1, total),
         jnp.asarray(J_left),
         jnp.asarray(J_right),
     )
