@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="generator compute dtype (GL stays fp32)")
-    ap.add_argument("--gl_backend", type=str, default="xla",
+    ap.add_argument("--gl_backend", type=str, default="pallas",
                     choices=["xla", "pallas"])
     args = ap.parse_args()
 
