@@ -67,3 +67,38 @@ def test_train_then_test_cli(tmp_path):
     imgs = os.listdir(os.path.join(results, "e2e", "test_latest", "images"))
     assert any(f.endswith(".png") for f in imgs)
     assert any(f.endswith(".wav") for f in imgs)
+
+
+def test_train_av_cli(tmp_path):
+    """Vision-infused model end-to-end through the CLI (tiny config)."""
+    ckpt = str(tmp_path / "ckpts_av")
+    args = [
+        "--dataset_mode", "synthetic_av",
+        "--model", "av",
+        "--batchSize", "2",
+        "--nThreads", "0",
+        "--clip_seconds", "0.252",
+        "--n_fft", "126",
+        "--hop_length", "64",
+        "--image_frames", "64",
+        "--ngf", "8", "--ndf", "8",
+        "--fusion_channels", "16",
+        "--n_video_frames", "4", "--frame_size", "16",
+        "--min_gap_frames", "8", "--max_gap_frames", "16",
+        "--gl_iters", "2",
+        "--n_data_devices", "2",
+        "--name", "e2e_av",
+        "--checkpoints_dir", ckpt,
+        "--niter", "1", "--niter_decay", "0",
+        "--steps_per_epoch", "2",
+        "--save_epoch_freq", "1",
+        "--lr_policy", "constant",
+        "--print_freq", "1",
+        "--no_html",
+    ]
+    train_main(args)
+    expr = os.path.join(ckpt, "e2e_av")
+    # The AV model saves all three nets.
+    assert os.path.exists(os.path.join(expr, "latest_net_G.pth"))
+    assert os.path.exists(os.path.join(expr, "latest_net_D.pth"))
+    assert os.path.exists(os.path.join(expr, "latest_net_V.pth"))
