@@ -40,6 +40,10 @@ def main():
     import dataclasses
 
     import jax
+
+    from viai_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     from flax import nnx
 
     from viai_tpu.nn import define_G

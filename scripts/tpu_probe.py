@@ -44,6 +44,9 @@ def chain_timed(fn, x, n, batch):
 
 def main():
     exp = sys.argv[1]
+    from viai_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     import jax
     import jax.numpy as jnp
 

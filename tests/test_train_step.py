@@ -94,3 +94,19 @@ def test_infer_chain_produces_waveform():
     out = infer(state["g"], state["v"], wav, jax.random.key(0))
     assert out.shape == wav.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mixed_av_batch_frames_valid():
+    """Mixed audio-visual batches [B:11]: invalid-video clips get zero
+    fusion features; the step runs and V still gets gradient from the
+    valid clips."""
+    G, D, V = _tiny_models(use_video=True)
+    cfg = TrainConfig(**{**TINY_CFG.__dict__, "use_video": True})
+    g_tx, d_tx = adam(2e-4), adam(2e-4)
+    (g_def, d_def, v_def), state = init_state(G, D, V, g_tx, d_tx)
+    step = make_train_step(g_def, d_def, v_def, g_tx, d_tx, cfg)
+    wav = jnp.asarray(_wav(4))
+    frames = jax.random.normal(jax.random.key(3), (4, 8, 16, 16, 3))
+    valid = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    state, metrics = step(state, wav, frames, jax.random.key(1), valid)
+    assert np.isfinite(float(metrics["loss_G"]))

@@ -26,6 +26,9 @@ from ..utils.visualizer import HTMLGallery
 
 
 def main(args=None):
+    from ..utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     opt = TestOptions().parse(args)
     clip_samples = int(opt.sample_rate * opt.clip_seconds)
     loader = create_dataloader(

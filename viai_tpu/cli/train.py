@@ -22,6 +22,9 @@ from ..utils.visualizer import Visualizer
 
 
 def main(args=None):
+    from ..utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     opt = TrainOptions().parse(args)
     expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
 

@@ -25,6 +25,9 @@ class SyntheticConfig:
     with_video: bool = False
     video_frames: int = 16
     video_size: int = 64
+    # Mixed audio-visual batches [B:11]: fraction of clips whose video
+    # is missing (frames zeroed, frames_valid=0).
+    video_dropout: float = 0.0
     size: int = 10000   # virtual dataset length
 
     @property
@@ -60,6 +63,7 @@ class SyntheticAVDataset:
         wav *= 0.5 / max(np.abs(wav).max(), 1e-6)
         item = {"wav": wav}
         if cfg.with_video:
+            has_video = rng.uniform() >= cfg.video_dropout
             T, S = cfg.video_frames, cfg.video_size
             frames = np.zeros((T, S, S, 3), np.float32)
             # Blob y-position tracks log-pitch; x sweeps with the envelope.
@@ -74,5 +78,8 @@ class SyntheticAVDataset:
                 frames[k, :, :, 0] = blob
                 frames[k, :, :, 1] = blob * env[fidx[k]]
                 frames[k, :, :, 2] = 0.2
+            if not has_video:
+                frames[:] = 0.0
             item["frames"] = frames
+            item["frames_valid"] = np.float32(1.0 if has_video else 0.0)
         return item

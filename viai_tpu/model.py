@@ -142,18 +142,25 @@ class VIAIModel:
         frames = batch.get("frames")
         if frames is not None:
             frames = jnp.asarray(frames, jnp.float32)
+        fv = batch.get("frames_valid")
         self._input = {
             "wav": jax.device_put(wav, self._batch_sharding),
             "frames": (
                 jax.device_put(frames, self._batch_sharding)
                 if frames is not None else None
             ),
+            "frames_valid": (
+                jax.device_put(jnp.asarray(fv, jnp.float32),
+                               self._batch_sharding)
+                if fv is not None else None
+            ),
         }
 
     def optimize_parameters(self):
         self._key, sub = jax.random.split(self._key)
         self.state, metrics = self.train_step(
-            self.state, self._input["wav"], self._input["frames"], sub
+            self.state, self._input["wav"], self._input["frames"], sub,
+            self._input.get("frames_valid"),
         )
         self._losses = metrics
 

@@ -151,12 +151,16 @@ def make_train_step(
     (SURVEY.md §2.1 "Task models").
     """
 
-    def _g_forward(g_state, v_state, batch, frames):
+    def _g_forward(g_state, v_state, batch, frames, frames_valid=None):
         G = nnx.merge(g_def, g_state)
         feats = None
         if cfg.use_video:
             V = nnx.merge(v_def, v_state)
             feats = V(frames)
+            if frames_valid is not None:
+                # Mixed audio-visual batches [B:11]: clips without video
+                # contribute zero fusion features (and zero V-gradient).
+                feats = feats * frames_valid[:, None, None]
         return G(_g_input(batch), feats)
 
     g_forward = (
@@ -187,9 +191,9 @@ def make_train_step(
             return new_pool, fake_in
         return state.get("pool"), fake_in
 
-    def g_loss_fn(gv_state, d_state, batch, frames):
+    def g_loss_fn(gv_state, d_state, batch, frames, frames_valid):
         g_state, v_state = gv_state
-        fake = g_forward(g_state, v_state, batch, frames)
+        fake = g_forward(g_state, v_state, batch, frames, frames_valid)
         if cfg.gan_mode == "hinge":
             l_gan = -jnp.mean(d_logits(d_state, batch, fake))
         else:
@@ -203,7 +207,7 @@ def make_train_step(
                              "loss_G": loss})
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, wav, frames, key):
+    def train_step(state, wav, frames, key, frames_valid=None):
         k_mask, k_pool = jax.random.split(key)
         batch = preprocess(wav, k_mask, cfg)
         gv = (state["g"], state["v"])
@@ -211,18 +215,21 @@ def make_train_step(
         if cfg.update_order == "sequential":
             # Reference ordering: D steps on current fake, then G
             # differentiates against the UPDATED D.
-            fake = g_forward(state["g"], state["v"], batch, frames)
+            fake = g_forward(state["g"], state["v"], batch, frames,
+                             frames_valid)
             pool, fake_d_in = pooled_fake_input(state, batch, fake, k_pool)
             (_, d_metrics), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state["d"], batch, fake_d_in)
             d_upd, d_opt = d_tx.update(d_grads, state["d_opt"], state["d"])
             d_new = optax.apply_updates(state["d"], d_upd)
             (_, (_, g_metrics)), g_grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True)(gv, d_new, batch, frames)
+                g_loss_fn, has_aux=True)(gv, d_new, batch, frames,
+                                         frames_valid)
         else:
             # Simultaneous: both grads against pre-update D; one G fwd.
             (_, (fake, g_metrics)), g_grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True)(gv, state["d"], batch, frames)
+                g_loss_fn, has_aux=True)(gv, state["d"], batch, frames,
+                                         frames_valid)
             pool, fake_d_in = pooled_fake_input(state, batch, fake, k_pool)
             (_, d_metrics), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state["d"], batch, fake_d_in)
