@@ -86,9 +86,11 @@ def main():
         from viai_tpu.train import TrainConfig
         from viai_tpu.train.step import _g_input, preprocess
 
-        dtype = exp.split("_")[2]
+        parts = exp.split("_")
+        dtype = parts[2]
+        upsample = "resize" if "resize" in parts else "deconv"
         cfg = TrainConfig()
-        G = define_G(dtype=dtype)
+        G = define_G(dtype=dtype, upsample=upsample)
         g_def, g_state = nnx.split(G)
         key = jax.random.key(0)
 

@@ -50,3 +50,19 @@ def test_streaming_submit_flush():
     assert len(outs) == 3
     assert all(o.shape == (4032,) for o in outs)
     assert svc.flush() == []
+
+
+def test_mesh_sharded_service():
+    """DP serving: bucket batches sharded over the 8-device CPU mesh."""
+    from viai_tpu.train import make_mesh
+
+    G, D, V = tiny_models()
+    g_def, g_state = nnx.split(G)
+    mesh = make_mesh(8)
+    svc = InpaintService(
+        g_def, g_state, TINY_CFG, buckets=(8,), gl_iters=2,
+        clip_samples=4032, mesh=mesh,
+    )
+    out = svc.inpaint(tone_batch(8, 4032), gap_start_s=0.08, gap_end_s=0.12)
+    assert out.shape == (8, 4032)
+    assert np.isfinite(out).all()

@@ -84,6 +84,10 @@ class BaseOptions:
                        choices=["xla", "pallas"],
                        help="Griffin-Lim impl: XLA ops or the "
                             "VMEM-resident Pallas kernel (faster on TPU)")
+        p.add_argument("--upsample", type=str, default="deconv",
+                       choices=["deconv", "resize"],
+                       help="decoder upsampling: transposed conv or "
+                            "nearest-resize+conv (faster on TPU)")
         p.add_argument("--remat", action="store_true",
                        help="rematerialize G forward in backward "
                             "(less activation memory, ~30%% more FLOPs)")

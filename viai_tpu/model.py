@@ -84,7 +84,8 @@ class VIAIModel:
         if self.cfg.multi_res and input_nc == 2:
             input_nc = 3  # + coarse-hop spectrogram channel
         G = define_G(input_nc, opt.output_nc, opt.ngf, opt.norm,
-                     opt.dtype, fusion_channels=fusion, seed=opt.seed)
+                     opt.dtype, fusion_channels=fusion, seed=opt.seed,
+                     upsample=getattr(opt, "upsample", "deconv"))
         d_in = (input_nc + opt.output_nc)
         D = define_D(d_in, opt.ndf, opt.n_layers_D, opt.norm, opt.dtype,
                      seed=opt.seed + 1)

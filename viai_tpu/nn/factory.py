@@ -25,10 +25,11 @@ def define_G(
     dtype: str = "float32",
     fusion_channels: int = 0,
     seed: int = 0,
+    upsample: str = "deconv",
 ) -> UNetGenerator:
     cfg = GeneratorConfig(
         in_channels=input_nc, out_channels=output_nc, ngf=ngf,
-        norm=norm, dtype=_DTYPES[dtype],
+        norm=norm, dtype=_DTYPES[dtype], upsample=upsample,
     )
     return UNetGenerator(cfg, nnx.Rngs(seed), fusion_channels=fusion_channels)
 

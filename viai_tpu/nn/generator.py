@@ -42,6 +42,10 @@ class GeneratorConfig:
     mults: tuple[int, ...] = (1, 2, 4, 8, 8, 8)
     norm: str = "instance"      # instance | batch | none
     dtype: tp.Any = jnp.float32  # compute dtype (bf16 for speed)
+    # Decoder upsampling: "deconv" = 4x4 transposed conv (pix2pix
+    # parity); "resize" = nearest-resize + 3x3 conv (faster XLA
+    # lowering on TPU, no checkerboard artifacts).
+    upsample: str = "deconv"
 
 
 def _norm(norm: str, features: int, dtype, rngs: nnx.Rngs):
@@ -81,16 +85,36 @@ class DownBlock(nnx.Module):
 
 
 class UpBlock(nnx.Module):
-    """transposed-conv(4x4, stride s) → norm → ReLU, with skip concat."""
+    """Upsample(stride) → norm → ReLU, with skip concat.
 
-    def __init__(self, cin, cout, stride, norm, dtype, rngs: nnx.Rngs):
-        self.conv = nnx.ConvTranspose(
-            cin, cout, kernel_size=(4, 4), strides=stride, padding="SAME",
-            dtype=dtype, param_dtype=jnp.float32, rngs=rngs,
-        )
+    mode="deconv": 4x4 transposed conv. mode="resize": nearest-resize
+    then 3x3 conv (equivalent receptive field, TPU-friendlier lowering).
+    """
+
+    def __init__(self, cin, cout, stride, norm, dtype, rngs: nnx.Rngs,
+                 mode: str = "deconv"):
+        self.mode = mode
+        self.stride = stride
+        if mode == "resize":
+            self.conv = nnx.Conv(
+                cin, cout, kernel_size=(3, 3), padding="SAME",
+                dtype=dtype, param_dtype=jnp.float32, rngs=rngs,
+            )
+        else:
+            self.conv = nnx.ConvTranspose(
+                cin, cout, kernel_size=(4, 4), strides=stride,
+                padding="SAME", dtype=dtype, param_dtype=jnp.float32,
+                rngs=rngs,
+            )
         self.norm = _norm(norm, cout, dtype, rngs)
 
     def __call__(self, x):
+        if self.mode == "resize":
+            b, h, w, c = x.shape
+            x = jax.image.resize(
+                x, (b, h * self.stride[0], w * self.stride[1], c),
+                method="nearest",
+            )
         return nnx.relu(self.norm(self.conv(x)))
 
 
@@ -128,7 +152,8 @@ class UNetGenerator(nnx.Module):
         up_in = bott
         for i, s in reversed(list(enumerate(cfg.strides))):
             cout = chans[i] if i > 0 else ngf
-            self.ups.append(UpBlock(up_in, cout, s, norm, dt, rngs))
+            self.ups.append(UpBlock(up_in, cout, s, norm, dt, rngs,
+                                    mode=cfg.upsample))
             # Next up-block consumes skip concat.
             up_in = cout + chans[i] if i > 0 else cout
         self.head = nnx.Conv(

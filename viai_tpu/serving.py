@@ -63,8 +63,27 @@ class InpaintService:
         gl_iters: int = 32,
         clip_samples: int = 32000,
         sample_rate: int = 16000,
+        mesh=None,
     ):
+        """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
+        bucket batch over the 'data' axis — DP serving across chips,
+        params replicated; bucket sizes must be divisible by the data
+        axis."""
         self.cfg = cfg
+        self.mesh = mesh
+        self._sharding = None
+        if mesh is not None:
+            from .train.mesh import batch_sharding, replicate
+
+            self._sharding = batch_sharding(mesh)
+            g_state = replicate(g_state, mesh)
+            if v_state is not None:
+                v_state = replicate(v_state, mesh)
+            n_data = mesh.shape["data"]
+            assert all(b % n_data == 0 for b in buckets), (
+                f"bucket sizes {buckets} must divide the data axis "
+                f"({n_data})"
+            )
         self.g_state = g_state
         self.v_state = v_state if v_state is not None else nnx.State({})
         self.buckets = tuple(sorted(buckets))
@@ -75,6 +94,12 @@ class InpaintService:
         )
         self.stats = ServiceStats()
         self._queue: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def _to_device(self, x):
+        arr = jnp.asarray(x)
+        if self._sharding is not None:
+            arr = jax.device_put(arr, self._sharding)
+        return arr
 
     # -- mask helpers ------------------------------------------------------
 
@@ -137,8 +162,9 @@ class InpaintService:
                 self.stats.padded_clips += padn
             t0 = time.perf_counter()
             y = self._infer(
-                self.g_state, self.v_state, jnp.asarray(w), jnp.asarray(m),
-                jnp.asarray(fr) if fr is not None else None,
+                self.g_state, self.v_state, self._to_device(w),
+                self._to_device(m),
+                self._to_device(fr) if fr is not None else None,
             )
             y = np.asarray(y)
             self.stats.total_s += time.perf_counter() - t0
