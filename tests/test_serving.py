@@ -66,3 +66,17 @@ def test_mesh_sharded_service():
     out = svc.inpaint(tone_batch(8, 4032), gap_start_s=0.08, gap_end_s=0.12)
     assert out.shape == (8, 4032)
     assert np.isfinite(out).all()
+
+
+def test_inpaint_long_audio():
+    """Long-audio chunked inpainting (SURVEY.md §5.7 overlap-add)."""
+    svc = _service(buckets=(2, 4))
+    t = np.arange(12000) / 16000.0
+    wav = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    out = svc.inpaint_long(wav, gap_start_s=0.30, gap_end_s=0.40,
+                           overlap_s=0.05)
+    assert out.shape == wav.shape
+    assert np.isfinite(out).all()
+    # Regions far from the gap are untouched.
+    np.testing.assert_array_equal(out[:1000], wav[:1000])
+    np.testing.assert_array_equal(out[-1000:], wav[-1000:])

@@ -174,6 +174,69 @@ class InpaintService:
             i += take
         return out
 
+    # -- long audio (SURVEY.md §5.7: host-side chunking + overlap-add) ------
+
+    def inpaint_long(
+        self,
+        wav: np.ndarray,
+        gap_start_s: float,
+        gap_end_s: float,
+        overlap_s: float = 0.25,
+    ) -> np.ndarray:
+        """Arbitrary-length (T,) waveform with one corrupted interval →
+        inpainted waveform of the same length.
+
+        The clip is windowed into service-sized chunks with `overlap_s`
+        crossfade; only windows intersecting the gap run through the
+        model (others pass through untouched), then linear-crossfade
+        stitching. This is the documented long-context strategy —
+        no sequence parallelism is needed for a convolutional model
+        (SURVEY.md §5.7).
+        """
+        wav = np.asarray(wav, np.float32)
+        T = len(wav)
+        cs = self.clip_samples
+        if T <= cs:
+            padded = np.zeros(cs, np.float32)
+            padded[:T] = wav
+            out = self.inpaint(padded[None], gap_start_s=gap_start_s,
+                               gap_end_s=gap_end_s)[0]
+            return out[:T]
+        ov = int(overlap_s * self.sample_rate)
+        step = cs - ov
+        starts = list(range(0, max(T - cs, 0) + 1, step))
+        if starts[-1] + cs < T:
+            starts.append(T - cs)
+        g0, g1 = int(gap_start_s * self.sample_rate), int(
+            np.ceil(gap_end_s * self.sample_rate))
+
+        todo, masks = [], []
+        for s in starts:
+            if s < g1 and s + cs > g0:   # window intersects the gap
+                local0 = max(g0 - s, 0) / self.sample_rate
+                local1 = min(g1 - s, cs) / self.sample_rate
+                todo.append(s)
+                masks.append(self.time_mask_from_seconds(
+                    1, local0, local1)[0])
+        out = wav.copy()
+        if todo:
+            wins = np.stack([wav[s : s + cs] for s in todo])
+            fixed = self.inpaint(wins, masks=np.stack(masks))
+            # Crossfade each fixed window into the output.
+            ramp = np.ones(cs, np.float32)
+            ramp[:ov] = np.linspace(0.0, 1.0, ov, dtype=np.float32)
+            ramp[-ov:] = np.linspace(1.0, 0.0, ov, dtype=np.float32)
+            acc = np.zeros(T, np.float64)
+            wsum = np.zeros(T, np.float64)
+            for s, fw in zip(todo, fixed):
+                acc[s : s + cs] += fw * ramp
+                wsum[s : s + cs] += ramp
+            blended = np.where(wsum > 0, acc / np.maximum(wsum, 1e-9), out)
+            # Only replace inside the touched windows.
+            touched = wsum > 0
+            out[touched] = blended[touched].astype(np.float32)
+        return out
+
     # -- streaming / micro-batching API -------------------------------------
 
     def submit(self, wav: np.ndarray, mask: np.ndarray):
