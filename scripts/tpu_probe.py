@@ -146,7 +146,8 @@ def main():
         parts = exp.split("_")
         dtype = parts[1]
         order = "sequential" if "seq" in parts else "simultaneous"
-        cfg = dataclasses.replace(TrainConfig(), update_order=order)
+        cfg = dataclasses.replace(TrainConfig(), update_order=order,
+                                  remat="remat" in parts)
         G = define_G(dtype=dtype)
         D = define_D(input_nc=3, dtype=dtype)
         g_tx, d_tx = adam(2e-4), adam(2e-4)

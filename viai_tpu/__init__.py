@@ -19,3 +19,23 @@ Layers (SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "create_model": ".model",
+    "VIAIModel": ".model",
+    "TrainOptions": ".config",
+    "TestOptions": ".config",
+    "InpaintService": ".serving",
+    "create_dataloader": ".data",
+}
+
+
+def __getattr__(name):
+    # Lazy top-level API: `from viai_tpu import create_model` without
+    # paying jax/flax import cost for `import viai_tpu.native` users.
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(_LAZY[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError(name)

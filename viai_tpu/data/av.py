@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 
-from .audio import AudioFolderDataset, find_wavs, load_wav
+from .audio import AudioFolderDataset, load_wav
 
 
 def _load_frames_npy(path, n_frames, size):

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import typing as tp
 
-import numpy as np
-
 from .audio import AudioFolderDataset, find_wavs
 from .av import AVFolderDataset, MusicesManifest
 from .synthetic import SyntheticAVDataset, SyntheticConfig

@@ -31,7 +31,6 @@ m/(1+m), window-sum-square normalization, zero-phase init.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
