@@ -105,3 +105,105 @@ def test_flat_key_names_are_stable():
     assert "convs.0.kernel" in keys
     assert "head.bias" in keys
     assert any(k.startswith("norms.1.") for k in keys)
+
+
+# ---------------------------------------------------------------------------
+# Full generator twin (upsample="resize" mode — exactly expressible in
+# torch; deconv mode differs only in the upsample op).
+# ---------------------------------------------------------------------------
+
+from viai_tpu.nn import GeneratorConfig, UNetGenerator  # noqa: E402
+
+
+class TorchUNetTwin(torch.nn.Module):
+    def __init__(self, cfg: GeneratorConfig):
+        super().__init__()
+        assert cfg.upsample == "resize"
+        self.cfg = cfg
+        chans = [cfg.in_channels] + [m * cfg.ngf for m in cfg.mults]
+        self.downs = torch.nn.ModuleList()
+        self.dnorms = torch.nn.ModuleList()
+        for i, s in enumerate(cfg.strides):
+            self.downs.append(torch.nn.Conv2d(chans[i], chans[i + 1], 4, s))
+            self.dnorms.append(
+                torch.nn.Identity() if i == 0
+                else torch.nn.GroupNorm(chans[i + 1], chans[i + 1], eps=1e-6)
+            )
+        self.ups = torch.nn.ModuleList()
+        self.unorms = torch.nn.ModuleList()
+        self.up_strides = []
+        up_in = chans[-1]
+        for i, s in reversed(list(enumerate(cfg.strides))):
+            cout = chans[i] if i > 0 else cfg.ngf
+            self.ups.append(torch.nn.Conv2d(up_in, cout, 3, 1, padding=1))
+            self.unorms.append(torch.nn.GroupNorm(cout, cout, eps=1e-6))
+            self.up_strides.append(s)
+            up_in = cout + chans[i] if i > 0 else cout
+        self.head = torch.nn.Conv2d(
+            cfg.ngf + cfg.in_channels, cfg.out_channels, 3, 1, padding=1
+        )
+
+    def forward(self, x):  # NCHW
+        h = x
+        skips = []
+        for conv, norm, s in zip(self.downs, self.dnorms,
+                                 self.cfg.strides):
+            skips.append(h)
+            h = F.leaky_relu(norm(conv(_flax_same_pad_s(h, 4, s))), 0.2)
+        for i, (conv, norm, s) in enumerate(
+            zip(self.ups, self.unorms, self.up_strides)
+        ):
+            h = F.interpolate(h, scale_factor=s, mode="nearest")
+            h = F.relu(norm(conv(h)))
+            h = torch.cat([h, skips[len(self.ups) - 1 - i]], dim=1)
+        return torch.tanh(self.head(h))
+
+
+def _flax_same_pad_s(x, k, strides):
+    """flax SAME padding for possibly-asymmetric strides (NCHW)."""
+    pads = []
+    for dim, s in zip((2, 3), strides):
+        size = x.shape[dim]
+        pad = max((-size) % s + k - s, 0) if size % s == 0 else max(
+            k - size % s, 0)
+        pads.append((pad // 2, pad - pad // 2))
+    (t, b), (l, r) = pads
+    return F.pad(x, (l, r, t, b))
+
+
+def test_generator_matches_torch_twin(tmp_path):
+    cfg = GeneratorConfig(
+        ngf=8, strides=((2, 2), (2, 2), (2, 1)), mults=(1, 2, 4),
+        upsample="resize",
+    )
+    G = UNetGenerator(cfg, nnx.Rngs(0))
+    _, g_state = nnx.split(G)
+    save_networks({"G": g_state}, "twin", str(tmp_path))
+
+    twin = TorchUNetTwin(cfg).eval()
+    sd = torch.load(f"{tmp_path}/twin_net_G.pth", weights_only=True)
+    new_sd = {}
+    for i in range(len(cfg.strides)):
+        new_sd[f"downs.{i}.weight"] = sd[f"downs.{i}.conv.kernel"].permute(
+            3, 2, 0, 1).contiguous()
+        new_sd[f"downs.{i}.bias"] = sd[f"downs.{i}.conv.bias"]
+        if i > 0:
+            new_sd[f"dnorms.{i}.weight"] = sd[f"downs.{i}.norm.scale"]
+            new_sd[f"dnorms.{i}.bias"] = sd[f"downs.{i}.norm.bias"]
+        new_sd[f"ups.{i}.weight"] = sd[f"ups.{i}.conv.kernel"].permute(
+            3, 2, 0, 1).contiguous()
+        new_sd[f"ups.{i}.bias"] = sd[f"ups.{i}.conv.bias"]
+        new_sd[f"unorms.{i}.weight"] = sd[f"ups.{i}.norm.scale"]
+        new_sd[f"unorms.{i}.bias"] = sd[f"ups.{i}.norm.bias"]
+    new_sd["head.weight"] = sd["head.kernel"].permute(3, 2, 0, 1).contiguous()
+    new_sd["head.bias"] = sd["head.bias"]
+    twin.load_state_dict(new_sd)
+
+    x = np.random.default_rng(1).standard_normal((2, 64, 64, 2)).astype(
+        np.float32)
+    ours = np.asarray(G(x))
+    with torch.no_grad():
+        theirs = twin(torch.from_numpy(x).permute(0, 3, 1, 2))
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
