@@ -86,6 +86,13 @@ def preprocess_with_mask(wav: jax.Array, tmask: jax.Array, cfg: TrainConfig):
     zero-padded along time to `image_frames` (251 → 256 by default) so
     the U-Net sees tile-friendly square images.
     """
+    # Trace-time shape guards (SURVEY.md §5.2 — chex assertions are the
+    # rebuild's sanitizer tier; they cost nothing after tracing).
+    import chex
+
+    chex.assert_rank(wav, 2)
+    chex.assert_rank(tmask, 2)
+    chex.assert_equal_shape_prefix([wav, tmask], 1)
     mag = stft_magnitude(wav, cfg.stft)            # (B, F, n_bins)
     mag = jnp.swapaxes(mag, -1, -2)                # (B, n_bins, F)
     n_frames = mag.shape[-1]
