@@ -207,3 +207,79 @@ def test_generator_matches_torch_twin(tmp_path):
     theirs = theirs.permute(0, 2, 3, 1).numpy()
     assert ours.shape == theirs.shape
     np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Video feature net twin (Conv3d + GroupNorm + temporal resize + linear).
+# ---------------------------------------------------------------------------
+
+from viai_tpu.nn import VideoFeatureNet, VideoNetConfig  # noqa: E402
+
+
+def _flax_same_pad_3d(x, k, strides):
+    """flax SAME padding for NCDHW torch tensors, per (t, h, w) stride."""
+    pads = []
+    for dim, s in zip((2, 3, 4), strides):
+        size = x.shape[dim]
+        pad = max((-size) % s + k - s, 0) if size % s == 0 else max(
+            k - size % s, 0)
+        pads.append((pad // 2, pad - pad // 2))
+    (t0, t1), (h0, h1), (w0, w1) = pads
+    return F.pad(x, (w0, w1, h0, h1, t0, t1))
+
+
+class TorchVideoTwin(torch.nn.Module):
+    def __init__(self, cfg: VideoNetConfig):
+        super().__init__()
+        self.cfg = cfg
+        chans = [cfg.in_channels] + [m * cfg.base for m in cfg.mults]
+        self.convs = torch.nn.ModuleList()
+        self.norms = torch.nn.ModuleList()
+        for i in range(len(cfg.strides)):
+            self.convs.append(
+                torch.nn.Conv3d(chans[i], chans[i + 1], 3, cfg.strides[i])
+            )
+            self.norms.append(torch.nn.GroupNorm(
+                min(8, chans[i + 1]), chans[i + 1], eps=1e-6))
+        self.proj = torch.nn.Linear(chans[-1], cfg.out_features)
+
+    def forward(self, x):  # NCDHW
+        h = x
+        for conv, norm, s in zip(self.convs, self.norms, self.cfg.strides):
+            h = F.relu(norm(conv(_flax_same_pad_3d(h, 3, s))))
+        h = h.mean(dim=(3, 4))                       # (B, C, T)
+        h = F.interpolate(h, size=self.cfg.out_time, mode="linear",
+                          align_corners=False)
+        return self.proj(h.permute(0, 2, 1))          # (B, T, C)
+
+
+def test_video_net_matches_torch_twin(tmp_path):
+    cfg = VideoNetConfig(
+        base=4, mults=(1, 2), strides=((1, 2, 2), (2, 2, 2)),
+        out_features=16, out_time=8,
+    )
+    V = VideoFeatureNet(cfg, nnx.Rngs(0))
+    _, v_state = nnx.split(V)
+    save_networks({"V": v_state}, "twin", str(tmp_path))
+    sd = torch.load(f"{tmp_path}/twin_net_V.pth", weights_only=True)
+
+    twin = TorchVideoTwin(cfg).eval()
+    new_sd = {}
+    for i in range(len(cfg.strides)):
+        new_sd[f"convs.{i}.weight"] = sd[f"convs.{i}.kernel"].permute(
+            4, 3, 0, 1, 2).contiguous()
+        new_sd[f"convs.{i}.bias"] = sd[f"convs.{i}.bias"]
+        new_sd[f"norms.{i}.weight"] = sd[f"norms.{i}.scale"]
+        new_sd[f"norms.{i}.bias"] = sd[f"norms.{i}.bias"]
+    new_sd["proj.weight"] = sd["proj.kernel"].T.contiguous()
+    new_sd["proj.bias"] = sd["proj.bias"]
+    twin.load_state_dict(new_sd)
+
+    x = np.random.default_rng(2).standard_normal(
+        (2, 8, 16, 16, 3)).astype(np.float32)
+    ours = np.asarray(V(x))
+    with torch.no_grad():
+        theirs = twin(torch.from_numpy(x).permute(0, 4, 1, 2, 3))
+    theirs = theirs.numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
