@@ -9,15 +9,20 @@ from .step import (
 )
 from .mesh import (
     batch_sharding,
+    global_batch_from_local,
     make_mesh,
+    maybe_initialize_distributed,
     replicate,
     replicated,
     shard_batch,
 )
+from .pool import init_pool, query_pool
 from .schedules import adam, make_schedule
 
 __all__ = [
     "TrainConfig", "init_state", "make_train_step", "make_infer_fn",
     "preprocess", "make_mesh", "batch_sharding", "replicated",
     "shard_batch", "replicate", "adam", "make_schedule",
+    "global_batch_from_local", "maybe_initialize_distributed",
+    "init_pool", "query_pool",
 ]
