@@ -86,3 +86,33 @@ def test_grain_av_synthetic_loader():
     batch = next(iter(it))
     assert batch["wav"].shape == (2, 32000)
     assert batch["frames"].shape == (2, 4, 16, 16, 3)
+
+
+def test_native_decode_edge_cases():
+    """Native decoder: float32 WAVs, stereo mixdown, bad buffers."""
+    from viai_tpu import native
+
+    if not native.AVAILABLE:
+        pytest.skip("native lib unavailable")
+    import io
+    import struct
+
+    # float32 stereo wav via scipy
+    sr = 8000
+    t = np.arange(sr) / sr
+    stereo = np.stack(
+        [np.sin(2 * np.pi * 220 * t), np.sin(2 * np.pi * 440 * t)], -1
+    ).astype(np.float32)
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, stereo)
+    y, got_sr = native.decode_wav(buf.getvalue())
+    assert got_sr == sr and y.shape == (sr,)
+    np.testing.assert_allclose(y, stereo.mean(-1), atol=1e-6)
+
+    # Garbage buffer → clean ValueError, not a crash.
+    with pytest.raises(ValueError):
+        native.decode_wav(b"not a wav file at all" * 10)
+    # Truncated header.
+    with pytest.raises(ValueError):
+        native.decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
+    del struct

@@ -133,3 +133,14 @@ def test_griffin_lim_batched():
     y = griffin_lim(mag, cfg, n_iter=4, length=4096)
     assert y.shape == (2, 4096)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_stft_no_center():
+    cfg = STFTConfig(n_fft=256, hop_length=128, center=False)
+    x = _rand_wave((4096,), seed=5)
+    re, im = stft(x, cfg)
+    assert re.shape == (cfg.num_frames(4096), cfg.n_bins)
+    ref = _torch_stft(x, cfg)  # torch center=False path
+    np.testing.assert_allclose(
+        np.asarray(re), np.swapaxes(ref.real, -1, -2), atol=2e-3, rtol=1e-4
+    )
