@@ -134,6 +134,39 @@ def main():
         log({"exp": exp, "batch": batch, "clips_per_s": round(cps, 1),
              "ms_per_call": round(ms, 2)})
 
+    elif exp == "train_av":
+        # Full AV GAN train step: G+D+V, frames resident on device.
+        from flax import nnx
+
+        from viai_tpu.nn import define_D, define_G, define_V
+        from viai_tpu.train import TrainConfig, adam, init_state, \
+            make_train_step
+        import dataclasses
+
+        cfg = dataclasses.replace(TrainConfig(), use_video=True)
+        G = define_G(dtype="bfloat16", fusion_channels=128)
+        D = define_D(input_nc=3, dtype="bfloat16")
+        V = define_V(128, 16, dtype="bfloat16")
+        g_tx, d_tx = adam(2e-4), adam(2e-4)
+        (g_def, d_def, v_def), state = init_state(G, D, V, g_tx, d_tx, cfg)
+        step = make_train_step(g_def, d_def, v_def, g_tx, d_tx, cfg)
+        frames = jnp.asarray(rng.standard_normal(
+            (batch, 16, 64, 64, 3)).astype(np.float32))
+        key = jax.random.key(0)
+        state, m = step(state, wav, frames, key)
+        np.asarray(m["loss_G"])
+        t0 = time.perf_counter()
+        n = 30
+        for i in range(n):
+            state, m = step(state, wav, frames,
+                            jax.random.fold_in(key, i))
+        np.asarray(m["loss_G"])
+        dt = time.perf_counter() - t0
+        log({"exp": exp, "batch": batch,
+             "steps_per_s": round(n / dt, 3),
+             "clips_per_s": round(batch * n / dt, 1),
+             "ms_per_step": round(dt / n * 1000, 2)})
+
     elif exp.startswith("train_"):
         # train_<dtype>[_seq]: full GAN train step (G 29M + D 2.8M).
         from flax import nnx
