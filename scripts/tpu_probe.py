@@ -89,8 +89,9 @@ def main():
         parts = exp.split("_")
         dtype = parts[2]
         upsample = "resize" if "resize" in parts else "deconv"
+        norm = "none" if "nonorm" in parts else "instance"
         cfg = TrainConfig()
-        G = define_G(dtype=dtype, upsample=upsample)
+        G = define_G(dtype=dtype, upsample=upsample, norm=norm)
         g_def, g_state = nnx.split(G)
         key = jax.random.key(0)
 
