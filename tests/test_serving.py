@@ -80,3 +80,15 @@ def test_inpaint_long_audio():
     # Regions far from the gap are untouched.
     np.testing.assert_array_equal(out[:1000], wav[:1000])
     np.testing.assert_array_equal(out[-1000:], wav[-1000:])
+
+
+def test_multi_gap_mask():
+    svc = _service(buckets=(2,))
+    m = svc.time_mask_from_seconds(1, [0.02, 0.15], [0.05, 0.18])
+    hop = TINY_CFG.stft.hop_length
+    holes = np.where(m[0] == 0)[0]
+    assert len(holes) > 0
+    # Two disjoint runs.
+    runs = np.split(holes, np.where(np.diff(holes) > 1)[0] + 1)
+    assert len(runs) == 2
+    del hop

@@ -104,14 +104,22 @@ class InpaintService:
     # -- mask helpers ------------------------------------------------------
 
     def time_mask_from_seconds(
-        self, batch: int, gap_start_s: float, gap_end_s: float
+        self, batch: int, gap_start_s, gap_end_s
     ) -> np.ndarray:
-        """Gap interval in seconds → dense (B, image_frames) keep-mask."""
+        """Gap interval(s) in seconds → dense (B, image_frames) keep-mask.
+
+        Scalars mark one gap; equal-length lists mark several
+        (MaskConfig.num_gaps analog for real corrupted regions).
+        """
+        starts = np.atleast_1d(gap_start_s)
+        ends = np.atleast_1d(gap_end_s)
+        assert len(starts) == len(ends), "start/end lists must pair up"
         hop = self.cfg.stft.hop_length
-        f0 = int(gap_start_s * self.sample_rate / hop)
-        f1 = int(np.ceil(gap_end_s * self.sample_rate / hop)) + 1
         m = np.ones((batch, self.cfg.image_frames), np.float32)
-        m[:, max(f0, 0) : min(f1, self.cfg.image_frames)] = 0.0
+        for s, e in zip(starts, ends):
+            f0 = int(s * self.sample_rate / hop)
+            f1 = int(np.ceil(e * self.sample_rate / hop)) + 1
+            m[:, max(f0, 0) : min(f1, self.cfg.image_frames)] = 0.0
         return m
 
     # -- direct batched API ------------------------------------------------
