@@ -48,8 +48,37 @@ class GeneratorConfig:
     upsample: str = "deconv"
 
 
+class InstanceNorm(nnx.Module):
+    """Per-(sample, channel) spatial normalization with affine params.
+
+    Hand-rolled instead of nnx.GroupNorm(groups=C): measured on v5e,
+    the GroupNorm lowering costs ~65% of the whole generator forward
+    (97 ms vs 33 ms norm-free, batch 128 — scripts/tpu_results.jsonl);
+    a plain mean/var over the spatial axes fuses far better.
+    Numerics are identical (eps inside the rsqrt, fp32 moments).
+    """
+
+    def __init__(self, features: int, dtype, rngs: nnx.Rngs,
+                 epsilon: float = 1e-6):
+        self.scale = nnx.Param(jnp.ones((features,), jnp.float32))
+        self.bias = nnx.Param(jnp.zeros((features,), jnp.float32))
+        self.epsilon = epsilon
+        self.dtype = dtype
+
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf), axes, keepdims=True) - jnp.square(mean)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * self.scale.value + self.bias.value
+        return y.astype(self.dtype)
+
+
 def _norm(norm: str, features: int, dtype, rngs: nnx.Rngs):
     if norm == "instance":
+        return InstanceNorm(features, dtype, rngs)
+    if norm == "groupnorm_instance":  # the flax lowering, kept for A/B
         return nnx.GroupNorm(
             num_features=features,
             num_groups=features,
