@@ -71,7 +71,7 @@ class InstanceNorm(nnx.Module):
         mean = jnp.mean(xf, axes, keepdims=True)
         var = jnp.mean(jnp.square(xf), axes, keepdims=True) - jnp.square(mean)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * self.scale.value + self.bias.value
+        y = y * self.scale[...] + self.bias[...]
         return y.astype(self.dtype)
 
 
