@@ -129,7 +129,7 @@ def griffin_lim_pallas(
                 wav_s[0, pl.ds(f * hop, N)] = seg + fr_s[f, :]
                 return 0
 
-            jax.lax.fori_loop(0, F, ola_body, 0, unroll=8)
+            jax.lax.fori_loop(0, F, ola_body, 0)
             wav_s[:] = wav_s[:] * env_ref[:]          # env_ref is 1/env
 
         def project():
@@ -157,7 +157,7 @@ def griffin_lim_pallas(
                 fr_s[f, :] = wav_s[0, pl.ds(f * hop, N)]
                 return 0
 
-            jax.lax.fori_loop(0, F, frame_body, 0, unroll=8)
+            jax.lax.fori_loop(0, F, frame_body, 0)
             pre_s[:] = jnp.dot(fr_s[:], cosw_ref[:],
                                preferred_element_type=jnp.float32)
             pim_s[:] = jnp.dot(fr_s[:], sinw_ref[:],
