@@ -47,3 +47,15 @@ def test_pallas_gl_zero_iter_is_zero_phase_istft():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
     )
+
+
+def test_pallas_gl_odd_batch_blocks():
+    """clips_per_block with a non-divisible batch (pads internally)."""
+    mag, n = _mag(batch=3, seed=9)
+    ref = griffin_lim(mag, CFG, n_iter=2, length=n)
+    out = griffin_lim_pallas(mag, CFG, n_iter=2, length=n, interpret=True,
+                             clips_per_block=2)
+    assert out.shape == (3, n)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3
+    )

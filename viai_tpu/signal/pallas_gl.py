@@ -66,15 +66,27 @@ def griffin_lim_pallas(
     length: int | None = None,
     momentum: float = 0.99,
     interpret: bool = False,
+    clips_per_block: int = 2,
 ) -> jax.Array:
     """(B, F, n_bins) magnitude → (B, length) waveform. Zero-phase init.
 
     Requires cfg.center=True and length == hop·(F−1) − 2·(n_fft//2)
     + n_fft (the exact inverse length), the shape produced by
     stft(wav, cfg) on fixed-size clips — i.e. the serving path.
+
+    clips_per_block (CB) processes several clips per grid program: the
+    per-frame OLA/framing loops then move (CB, n_fft) slabs per step,
+    amortizing loop overhead across clips (~8 MB VMEM at CB=2).
     """
     assert cfg.center, "pallas GL implements the center=True layout"
-    B, F, n_bins = mag.shape
+    B0, F, n_bins = mag.shape
+    CB = max(min(clips_per_block, B0), 1)
+    if B0 % CB:
+        padb = CB - B0 % CB
+        mag = jnp.concatenate(
+            [mag, jnp.zeros((padb, F, n_bins), mag.dtype)], axis=0
+        )
+    B = mag.shape[0]
     N = cfg.n_fft
     hop = cfg.hop_length
     pad = N // 2
@@ -108,7 +120,7 @@ def griffin_lim_pallas(
     def kernel(mag_ref, cosw_ref, sinw_ref, icosw_ref, isinw_ref,
                env_ref, jl_ref, jr_ref, out_ref, re_s, im_s, pre_s,
                pim_s, fr_s, wav_s):
-        magv = mag_ref[0]                             # (F, n_bins)
+        magv = mag_ref[:]                             # (CB, F, n_bins)
         re_s[:] = jnp.ones_like(magv)                 # zero phase: e^{i0}
         im_s[:] = jnp.zeros_like(magv)
         pre_s[:] = jnp.zeros_like(magv)
@@ -116,17 +128,19 @@ def griffin_lim_pallas(
 
         def istft_to_wav():
             """(re_s, im_s) phase + mag → normalized padded wav in wav_s."""
+            xre = (magv * re_s[:]).reshape(CB * F, n_bins)
+            xim = (magv * im_s[:]).reshape(CB * F, n_bins)
             fr_s[:] = (
-                jnp.dot(magv * re_s[:], icosw_ref[:],
+                jnp.dot(xre, icosw_ref[:],
                         preferred_element_type=jnp.float32)
-                + jnp.dot(magv * im_s[:], isinw_ref[:],
+                + jnp.dot(xim, isinw_ref[:],
                           preferred_element_type=jnp.float32)
-            )
+            ).reshape(CB, F, N)
             wav_s[:] = jnp.zeros_like(wav_s)
 
             def ola_body(f, _):
-                seg = wav_s[0, pl.ds(f * hop, N)]
-                wav_s[0, pl.ds(f * hop, N)] = seg + fr_s[f, :]
+                seg = wav_s[:, pl.ds(f * hop, N)]
+                wav_s[:, pl.ds(f * hop, N)] = seg + fr_s[:, f, :]
                 return 0
 
             jax.lax.fori_loop(0, F, ola_body, 0)
@@ -135,33 +149,33 @@ def griffin_lim_pallas(
         def project():
             """wav_s (padded layout) → new (re, im) into pre_s/pim_s."""
             # librosa trims pad then reflect-pads again; reproduce the
-            # edge correction with reversal matmuls.
+            # edge correction with reversal matmuls (batched over CB).
             # J_left: (v @ J)[k] = v[pad-1-k] for k < pad.
-            lsrc = wav_s[0, pad + 1 : pad + 1 + Jpad].reshape(1, Jpad)
+            lsrc = wav_s[:, pad + 1 : pad + 1 + Jpad]
             lrev = jnp.dot(lsrc, jl_ref[:],
                            preferred_element_type=jnp.float32)
-            # lrev[k] = wav[pad+1 + pad-1-k] = wav[2p-k] — the reflected
-            # value for out[k], k in [0, p).
-            wav_s[0, 0:pad] = lrev[0, 0:pad]
+            # lrev[c, k] = wav[c, 2p-k] — reflected value for out[c, k].
+            wav_s[:, 0:pad] = lrev[:, 0:pad]
             # J_right: (v @ J)[k] = v[Jpad-1-k] for k < pad, with the
             # source window end-anchored at total-pad-1.
-            rsrc = wav_s[0, total - pad - 1 - Jpad : total - pad - 1
-                         ].reshape(1, Jpad)
+            rsrc = wav_s[:, total - pad - 1 - Jpad : total - pad - 1]
             rrev = jnp.dot(rsrc, jr_ref[:],
                            preferred_element_type=jnp.float32)
-            # rrev[k] = wav[total-p-1-Jp + Jp-1-k] = wav[total-p-2-k] —
-            # the reflected value for out[total-p+k], k in [0, p).
-            wav_s[0, total - pad : total] = rrev[0, 0:pad]
+            # rrev[c, k] = wav[c, total-p-2-k] → out[c, total-p+k].
+            wav_s[:, total - pad : total] = rrev[:, 0:pad]
 
             def frame_body(f, _):
-                fr_s[f, :] = wav_s[0, pl.ds(f * hop, N)]
+                fr_s[:, f, :] = wav_s[:, pl.ds(f * hop, N)]
                 return 0
 
             jax.lax.fori_loop(0, F, frame_body, 0)
-            pre_s[:] = jnp.dot(fr_s[:], cosw_ref[:],
-                               preferred_element_type=jnp.float32)
-            pim_s[:] = jnp.dot(fr_s[:], sinw_ref[:],
-                               preferred_element_type=jnp.float32)
+            xf = fr_s[:].reshape(CB * F, N)
+            pre_s[:] = jnp.dot(xf, cosw_ref[:],
+                               preferred_element_type=jnp.float32
+                               ).reshape(CB, F, n_bins)
+            pim_s[:] = jnp.dot(xf, sinw_ref[:],
+                               preferred_element_type=jnp.float32
+                               ).reshape(CB, F, n_bins)
 
         def body(_, carry):
             istft_to_wav()
@@ -178,10 +192,10 @@ def griffin_lim_pallas(
 
         jax.lax.fori_loop(0, n_iter, body, 0)
         istft_to_wav()
-        out_ref[0, 0, :] = wav_s[0, pad : pad + T]
+        out_ref[:, 0, :] = wav_s[:, pad : pad + T]
 
     in_specs = [
-        pl.BlockSpec((1, F, n_bins), lambda b: (b, 0, 0),
+        pl.BlockSpec((CB, F, n_bins), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((N, n_bins), lambda b: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -200,22 +214,22 @@ def griffin_lim_pallas(
     ]
     # Output is (B, 1, T) so each block's trailing two dims equal the
     # array dims (TPU block-shape rule); squeezed on return.
-    out_specs = pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0),
+    out_specs = pl.BlockSpec((CB, 1, T), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, 1, T), jnp.float32),
-        grid=(B,),
+        grid=(B // CB,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((F, n_bins), jnp.float32),   # re
-            pltpu.VMEM((F, n_bins), jnp.float32),   # im
-            pltpu.VMEM((F, n_bins), jnp.float32),   # prev rebuilt re
-            pltpu.VMEM((F, n_bins), jnp.float32),   # prev rebuilt im
-            pltpu.VMEM((F, N), jnp.float32),        # frame buffer
-            pltpu.VMEM((1, total), jnp.float32),    # waveform buffer
+            pltpu.VMEM((CB, F, n_bins), jnp.float32),  # re
+            pltpu.VMEM((CB, F, n_bins), jnp.float32),  # im
+            pltpu.VMEM((CB, F, n_bins), jnp.float32),  # prev rebuilt re
+            pltpu.VMEM((CB, F, n_bins), jnp.float32),  # prev rebuilt im
+            pltpu.VMEM((CB, F, N), jnp.float32),       # frame buffer
+            pltpu.VMEM((CB, total), jnp.float32),      # waveform buffer
         ],
         interpret=interpret,
     )(
@@ -226,4 +240,4 @@ def griffin_lim_pallas(
         jnp.asarray(J_left),
         jnp.asarray(J_right),
     )
-    return out.reshape(B, T)
+    return out.reshape(B, T)[:B0]
