@@ -188,6 +188,21 @@ class VIAIModel:
         reports, matching the reference's printout."""
         print(f"learning rate = {self.get_current_lr():.7f}")
 
+    def eval(self):
+        """Reference BaseModel API. No-op: our step functions are pure —
+        there is no dropout/batch-stat mode to flip (InstanceNorm is
+        stateless), and test() never builds gradients."""
+        return self
+
+    def train(self):
+        """Reference BaseModel API counterpart of eval(); no-op."""
+        return self
+
+    def set_requires_grad(self, *args, **kwargs):
+        """Reference BaseModel API. No-op: gradient flow is defined by
+        the jit'd loss functions (stop_gradient where needed), not by
+        per-parameter flags."""
+
     def get_current_visuals(self) -> dict[str, np.ndarray]:
         """Reference BaseModel API: current input/output spectrogram
         images scaled to [0, 1] (H, W) numpy arrays for display."""
