@@ -71,3 +71,11 @@ def test_train_state_resume(tmp_path):
         float(m1["loss_G"]), float(m2["loss_G"]), rtol=1e-6
     )
     del s_cont, s_res
+
+
+def test_load_missing_checkpoint_raises(tmp_path):
+    _, state, _ = _state()
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_networks({"G": state["g"]}, "nope", str(tmp_path / "void"))

@@ -56,6 +56,18 @@ def load_wav(path: str, target_sr: int = 16000) -> np.ndarray:
     return wav
 
 
+def crop_or_pad(wav: np.ndarray, clip_samples: int, rng) -> np.ndarray:
+    """Random clip_samples crop (zero-pad short signals) — the
+    reference datasets' 2 s crop behavior (SURVEY.md §2.1)."""
+    out = np.zeros(clip_samples, np.float32)
+    if len(wav) >= clip_samples:
+        start = rng.integers(0, len(wav) - clip_samples + 1)
+        out[:] = wav[start : start + clip_samples]
+    else:
+        out[: len(wav)] = wav
+    return out
+
+
 class AudioFolderDataset:
     """Random-access dataset: idx → {'wav': (clip_samples,) float32}.
 
@@ -79,10 +91,4 @@ class AudioFolderDataset:
         idx = int(idx)
         wav = load_wav(self.paths[idx % len(self.paths)], self.sample_rate)
         rng = np.random.default_rng((self.seed, idx))
-        out = np.zeros(self.clip_samples, np.float32)
-        if len(wav) >= self.clip_samples:
-            start = rng.integers(0, len(wav) - self.clip_samples + 1)
-            out[:] = wav[start : start + self.clip_samples]
-        else:
-            out[: len(wav)] = wav
-        return {"wav": out}
+        return {"wav": crop_or_pad(wav, self.clip_samples, rng)}

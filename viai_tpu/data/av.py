@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 
-from .audio import AudioFolderDataset, load_wav
+from .audio import AudioFolderDataset, crop_or_pad, load_wav
 
 
 def _load_frames_npy(path, n_frames, size):
@@ -155,13 +155,7 @@ class MusicesManifest:
         e = self.entries[int(idx) % len(self.entries)]
         wav = load_wav(e["audio"], self.sample_rate)
         rng = np.random.default_rng((self.seed, int(idx)))
-        out = np.zeros(self.clip_samples, np.float32)
-        if len(wav) >= self.clip_samples:
-            start = rng.integers(0, len(wav) - self.clip_samples + 1)
-            out[:] = wav[start : start + self.clip_samples]
-        else:
-            out[: len(wav)] = wav
-        item = {"wav": out}
+        item = {"wav": crop_or_pad(wav, self.clip_samples, rng)}
         if e["frames"]:
             stem = os.path.splitext(e["frames"])[0]
             item["frames"] = load_frames_for(
