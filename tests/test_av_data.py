@@ -61,3 +61,16 @@ def test_av_grain_loader(av_dir):
     batch = next(iter(it))
     assert batch["wav"].shape == (2, 8000)
     assert batch["frames"].shape == (2, 4, 16, 16, 3)
+
+
+def test_musices_split_selection(av_dir):
+    """test.py must read the 'test' split of a MUSICES manifest."""
+    from viai_tpu.data import create_dataloader
+
+    it = create_dataloader(
+        "musices", str(av_dir / "MUSICES.json"), batch_size=1,
+        clip_samples=8000, n_threads=0, n_frames=4, frame_size=16,
+        num_epochs=1, shuffle=False, split="test",
+    )
+    batches = list(it)
+    assert len(batches) == 1  # the manifest's test split has one clip

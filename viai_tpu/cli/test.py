@@ -29,12 +29,25 @@ def main(args=None):
     from ..utils.compile_cache import enable as _enable_cache
 
     _enable_cache()
+
+    def _honor_gpu_ids(opt):
+        # Reference semantic: --gpu_ids -1 means CPU.
+        if getattr(opt, "gpu_ids", "0") == "-1":
+            import jax
+
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+
     opt = TestOptions().parse(args)
+    _honor_gpu_ids(opt)
     clip_samples = int(opt.sample_rate * opt.clip_seconds)
     loader = create_dataloader(
         opt.dataset_mode, opt.dataroot, opt.batchSize, clip_samples,
         opt.sample_rate, opt.nThreads, opt.n_video_frames, opt.frame_size,
         seed=opt.seed, shuffle=False, num_epochs=1, prefer_native=False,
+        split=getattr(opt, "phase", "test"),
     )
     opt.isTrain = False
     model = create_model(opt)

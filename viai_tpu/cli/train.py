@@ -25,7 +25,19 @@ def main(args=None):
     from ..utils.compile_cache import enable as _enable_cache
 
     _enable_cache()
+
+    def _honor_gpu_ids(opt):
+        # Reference semantic: --gpu_ids -1 means CPU.
+        if getattr(opt, "gpu_ids", "0") == "-1":
+            import jax
+
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+
     opt = TrainOptions().parse(args)
+    _honor_gpu_ids(opt)
     expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
 
     clip_samples = int(opt.sample_rate * opt.clip_seconds)

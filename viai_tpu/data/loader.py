@@ -75,6 +75,7 @@ def create_dataloader(
     shuffle: bool = True,
     num_epochs: int | None = None,
     prefer_native: bool = True,
+    split: str = "train",
 ) -> tp.Iterable[dict]:
     """→ iterable of batch dicts {'wav': (B, S) [, 'frames': (B,T,H,W,3)]}.
 
@@ -112,7 +113,7 @@ def create_dataloader(
                              shuffle=shuffle, num_epochs=num_epochs)
     if dataset_mode == "musices":
         src = MusicesManifest(
-            dataroot, "train", clip_samples, sample_rate, n_frames,
+            dataroot, split, clip_samples, sample_rate, n_frames,
             frame_size, seed,
         )
         return _grain_loader(src, batch_size, n_threads, seed,
