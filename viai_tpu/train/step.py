@@ -109,7 +109,6 @@ def preprocess_with_mask(wav: jax.Array, tmask: jax.Array, cfg: TrainConfig):
         "real_img": real_img,
         "masked_img": masked_img,
         "mask_img": mask_img,
-        "n_frames": n_frames,
     }
     if cfg.multi_res:
         # Long-gap config [B:9]: coarse 2x-hop spectrogram as an extra
