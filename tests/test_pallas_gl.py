@@ -56,6 +56,10 @@ def test_pallas_gl_odd_batch_blocks():
     out = griffin_lim_pallas(mag, CFG, n_iter=2, length=n, interpret=True,
                              clips_per_block=2)
     assert out.shape == (3, n)
+    # Edge samples sit under a tiny window envelope (1/env ~ 1e3), which
+    # amplifies fp32 rounding; interior matches to ~1e-5.
+    out_np, ref_np = np.asarray(out), np.asarray(ref)
+    np.testing.assert_allclose(out_np, ref_np, atol=4e-3, rtol=1e-3)
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3
+        out_np[:, 200:-200], ref_np[:, 200:-200], atol=2e-4, rtol=1e-3
     )
