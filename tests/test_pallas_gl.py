@@ -50,16 +50,25 @@ def test_pallas_gl_zero_iter_is_zero_phase_istft():
 
 
 def test_pallas_gl_odd_batch_blocks():
-    """clips_per_block with a non-divisible batch (pads internally)."""
+    """clips_per_block with a non-divisible batch (pads internally).
+
+    n_iter=1 keeps the comparison in exact territory: GL is an iterated
+    nonlinear map, so fp32 summation-order differences between the
+    kernel and the jnp path grow chaotically with iteration count for
+    unlucky clips (observed 2e-3 at n_iter=2) while both remain valid
+    GL trajectories. Block-correctness (what this test pins) is
+    iteration-independent — CB=1 and CB=2 outputs are bit-comparable.
+    """
     mag, n = _mag(batch=3, seed=9)
-    ref = griffin_lim(mag, CFG, n_iter=2, length=n)
-    out = griffin_lim_pallas(mag, CFG, n_iter=2, length=n, interpret=True,
+    ref = griffin_lim(mag, CFG, n_iter=1, length=n)
+    out = griffin_lim_pallas(mag, CFG, n_iter=1, length=n, interpret=True,
                              clips_per_block=2)
     assert out.shape == (3, n)
-    # Edge samples sit under a tiny window envelope (1/env ~ 1e3), which
-    # amplifies fp32 rounding; interior matches to ~1e-5.
-    out_np, ref_np = np.asarray(out), np.asarray(ref)
-    np.testing.assert_allclose(out_np, ref_np, atol=4e-3, rtol=1e-3)
     np.testing.assert_allclose(
-        out_np[:, 200:-200], ref_np[:, 200:-200], atol=2e-4, rtol=1e-3
+        np.asarray(out), np.asarray(ref), atol=3e-4, rtol=1e-3
     )
+    # Blocked and unblocked kernels agree exactly (same program order).
+    out1 = griffin_lim_pallas(mag, CFG, n_iter=1, length=n, interpret=True,
+                              clips_per_block=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out1),
+                               atol=1e-6, rtol=1e-6)
