@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--eval_batch", type=int, default=32)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--lambda_l1", type=float, default=100.0)
+    ap.add_argument("--long_gap", action="store_true",
+                    help="long-gap config: multi-res input, 75-150 frame "
+                         "masks, 3-channel G (BASELINE config 3)")
     args = ap.parse_args()
 
     import dataclasses
@@ -48,8 +51,16 @@ def main():
     from viai_tpu.utils.metrics import masked_psnr
 
     cfg = dataclasses.replace(TrainConfig(), lambda_l1=args.lambda_l1)
-    G = define_G(dtype=args.dtype)
-    D = define_D(input_nc=3, dtype=args.dtype)
+    if args.long_gap:
+        from viai_tpu.signal import MaskConfig
+
+        cfg = dataclasses.replace(
+            cfg, multi_res=True,
+            mask=MaskConfig(min_gap_frames=75, max_gap_frames=150),
+        )
+    g_in = 3 if args.long_gap else 2
+    G = define_G(input_nc=g_in, dtype=args.dtype)
+    D = define_D(input_nc=g_in + 1, dtype=args.dtype)
     g_tx, d_tx = adam(2e-4), adam(2e-4)
     (g_def, d_def, v_def), state = init_state(G, D, None, g_tx, d_tx, cfg)
     step = make_train_step(g_def, d_def, v_def, g_tx, d_tx, cfg)
@@ -99,6 +110,7 @@ def main():
 
     rec = {
         "steps": args.steps, "batch": args.batch,
+        "long_gap": args.long_gap,
         "hole_psnr_before": round(p0, 3),
         "hole_psnr_after": round(p1, 3),
         "final_l1": round(lg, 5),
