@@ -22,6 +22,7 @@ from .mask import (
 )
 from .mel import apply_mel, compress, decompress, mel_filterbank
 from .griffin_lim import griffin_lim
+from .pallas_gl import griffin_lim_pallas
 
 __all__ = [
     "STFTConfig",
@@ -33,6 +34,7 @@ __all__ = [
     "istft",
     "overlap_add",
     "griffin_lim",
+    "griffin_lim_pallas",
     "sample_time_mask",
     "sample_batch_masks",
     "apply_mask",
