@@ -50,7 +50,9 @@ class BaseOptions:
         p.add_argument("--nThreads", type=int, default=4)
         p.add_argument("--checkpoints_dir", type=str, default="./checkpoints")
         p.add_argument("--norm", type=str, default="instance",
-                       choices=["instance", "batch", "none"])
+                       choices=["instance", "none"],
+                       help="batch norm intentionally unsupported (see "
+                            "nn/generator.py)")
         p.add_argument("--serial_batches", action="store_true",
                        help="no shuffling (sequential sampling)")
         p.add_argument("--no_html", action="store_true")

@@ -89,12 +89,13 @@ def _norm(norm: str, features: int, dtype, rngs: nnx.Rngs):
             rngs=rngs,
         )
     if norm == "batch":
-        return nnx.BatchNorm(
-            num_features=features,
-            use_running_average=False,
-            dtype=dtype,
-            param_dtype=jnp.float32,
-            rngs=rngs,
+        # BatchNorm needs (a) cross-shard stat sync under DP and (b) its
+        # running stats kept OUT of the optimizer state; the functional
+        # train state currently treats all variables as params, which
+        # would silently train the stats. Refuse instead of mis-train.
+        raise NotImplementedError(
+            "norm='batch' is not supported yet; use 'instance' "
+            "(the TPU-friendly default — no cross-chip stat sync needed)"
         )
     return lambda x: x
 
