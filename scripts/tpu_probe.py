@@ -66,10 +66,15 @@ def main():
         use_pallas = len(parts) > 2 and parts[2] == "pallas"
         cfg = STFTConfig(precision=prec)
 
+        import jax.numpy as _jnp
+
+        mm_dt = _jnp.bfloat16 if "bf16mm" in parts else _jnp.float32
+
         def gl_chain(w):
             mag = stft_magnitude(w, cfg)
             if use_pallas:
-                return griffin_lim_pallas(mag, cfg, n_iter=32, length=32000)
+                return griffin_lim_pallas(mag, cfg, n_iter=32, length=32000,
+                                          matmul_dtype=mm_dt)
             return griffin_lim(mag, cfg, n_iter=32, length=32000)
 
         f = jax.jit(gl_chain)

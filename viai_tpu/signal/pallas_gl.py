@@ -67,6 +67,7 @@ def griffin_lim_pallas(
     momentum: float = 0.99,
     interpret: bool = False,
     clips_per_block: int = 2,
+    matmul_dtype=jnp.float32,
 ) -> jax.Array:
     """(B, F, n_bins) magnitude → (B, length) waveform. Zero-phase init.
 
@@ -77,6 +78,10 @@ def griffin_lim_pallas(
     clips_per_block (CB) processes several clips per grid program: the
     per-frame OLA/framing loops then move (CB, n_fft) slabs per step,
     amortizing loop overhead across clips (~8 MB VMEM at CB=2).
+
+    matmul_dtype=jnp.bfloat16 runs the DFT matmuls with bf16 operands
+    (fp32 accumulation, fp32 phase state) — faster MXU passes at a
+    small spectral-convergence cost; fp32 is the parity default.
     """
     assert cfg.center, "pallas GL implements the center=True layout"
     B0, F, n_bins = mag.shape
@@ -117,6 +122,8 @@ def griffin_lim_pallas(
     J_left = _reversal_matrix(pad, Jpad, end_aligned=False)
     J_right = _reversal_matrix(pad, Jpad, end_aligned=True)
 
+    mm_dt = matmul_dtype
+
     def kernel(mag_ref, cosw_ref, sinw_ref, icosw_ref, isinw_ref,
                env_ref, jl_ref, jr_ref, out_ref, re_s, im_s, pre_s,
                pim_s, fr_s, wav_s):
@@ -128,8 +135,8 @@ def griffin_lim_pallas(
 
         def istft_to_wav():
             """(re_s, im_s) phase + mag → normalized padded wav in wav_s."""
-            xre = (magv * re_s[:]).reshape(CB * F, n_bins)
-            xim = (magv * im_s[:]).reshape(CB * F, n_bins)
+            xre = (magv * re_s[:]).reshape(CB * F, n_bins).astype(mm_dt)
+            xim = (magv * im_s[:]).reshape(CB * F, n_bins).astype(mm_dt)
             fr_s[:] = (
                 jnp.dot(xre, icosw_ref[:],
                         preferred_element_type=jnp.float32)
@@ -169,7 +176,7 @@ def griffin_lim_pallas(
                 return 0
 
             jax.lax.fori_loop(0, F, frame_body, 0)
-            xf = fr_s[:].reshape(CB * F, N)
+            xf = fr_s[:].reshape(CB * F, N).astype(mm_dt)
             pre_s[:] = jnp.dot(xf, cosw_ref[:],
                                preferred_element_type=jnp.float32
                                ).reshape(CB, F, n_bins)
@@ -234,8 +241,8 @@ def griffin_lim_pallas(
         interpret=interpret,
     )(
         mag.astype(jnp.float32),
-        jnp.asarray(cosw), jnp.asarray(sinw),
-        jnp.asarray(icosw), jnp.asarray(isinw),
+        jnp.asarray(cosw, matmul_dtype), jnp.asarray(sinw, matmul_dtype),
+        jnp.asarray(icosw, matmul_dtype), jnp.asarray(isinw, matmul_dtype),
         jnp.asarray(inv_env).reshape(1, total),
         jnp.asarray(J_left),
         jnp.asarray(J_right),
