@@ -102,3 +102,24 @@ def test_train_av_cli(tmp_path):
     assert os.path.exists(os.path.join(expr, "latest_net_G.pth"))
     assert os.path.exists(os.path.join(expr, "latest_net_D.pth"))
     assert os.path.exists(os.path.join(expr, "latest_net_V.pth"))
+
+
+def test_continue_train_cli(tmp_path):
+    """--continue_train resumes from the saved orbax state (step count
+    advances rather than restarting) — the reference resume contract."""
+    ckpt = str(tmp_path / "ckpts_ct")
+    base = TINY + [
+        "--name", "ct",
+        "--checkpoints_dir", ckpt,
+        "--niter", "1", "--niter_decay", "0",
+        "--steps_per_epoch", "2",
+        "--save_epoch_freq", "1",
+        "--lr_policy", "constant",
+        "--print_freq", "10",
+        "--no_html",
+    ]
+    m1 = train_main(base)
+    assert int(m1.state["step"]) == 2
+    m2 = train_main(base + ["--continue_train", "--which_epoch", "latest"])
+    # Resumed from step 2 and ran 2 more.
+    assert int(m2.state["step"]) == 4
