@@ -116,3 +116,23 @@ def test_native_decode_edge_cases():
     with pytest.raises(ValueError):
         native.decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
     del struct
+
+
+def test_native_loader_stress(wav_dir):
+    """Sustained multi-worker pulls: no deadlock, no garbage batches."""
+    from viai_tpu import native
+
+    if not native.AVAILABLE:
+        pytest.skip("native lib unavailable")
+    paths = [str(p) for p in sorted(wav_dir.iterdir())
+             if str(p).endswith(".wav")]
+    L = native.NativeClipLoader(paths, clip_samples=4000, batch=8,
+                                n_workers=4, queue_depth=4, seed=1)
+    try:
+        for _ in range(50):
+            b = L.next()
+            assert b.shape == (8, 4000)
+            assert np.isfinite(b).all()
+            assert np.abs(b).max() <= 1.0
+    finally:
+        L.close()
