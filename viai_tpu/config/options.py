@@ -82,6 +82,12 @@ class BaseOptions:
         p.add_argument("--fusion_channels", type=int, default=256)
         p.add_argument("--gl_iters", type=int, default=32,
                        help="Griffin-Lim iterations at test time")
+        p.add_argument("--no_phase_aware", action="store_true",
+                       help="reference-parity ablation: Griffin-Lim the "
+                            "whole magnitude from zero phase instead of "
+                            "keeping the observed frames' complex STFT "
+                            "verbatim (phase-aware is the default and "
+                            "strictly better on waveform SNR)")
         p.add_argument("--gl_backend", type=str, default="xla",
                        choices=["xla", "pallas"],
                        help="Griffin-Lim impl: XLA ops or the "

@@ -123,6 +123,7 @@ class VIAIModel:
         self.infer_fn = make_infer_fn(
             self.g_def, self.v_def, self.cfg,
             n_gl_iter=getattr(opt, "gl_iters", 32),
+            phase_aware=not getattr(opt, "no_phase_aware", False),
         )
         self._key = jax.random.key(opt.seed)
         self._input = None

@@ -64,6 +64,7 @@ class InpaintService:
         clip_samples: int = 32000,
         sample_rate: int = 16000,
         mesh=None,
+        phase_aware: bool = True,
     ):
         """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
         bucket batch over the 'data' axis — DP serving across chips,
@@ -90,7 +91,8 @@ class InpaintService:
         self.clip_samples = clip_samples
         self.sample_rate = sample_rate
         self._infer = make_infer_fn(
-            g_def, v_def, cfg, n_gl_iter=gl_iters, external_mask=True
+            g_def, v_def, cfg, n_gl_iter=gl_iters, external_mask=True,
+            phase_aware=phase_aware,
         )
         self.stats = ServiceStats()
         self._queue: list[tuple[np.ndarray, np.ndarray]] = []

@@ -68,6 +68,7 @@ def griffin_lim_pallas(
     interpret: bool = False,
     clips_per_block: int = 2,
     matmul_dtype=jnp.float32,
+    observed: tuple[jax.Array, jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """(B, F, n_bins) magnitude → (B, length) waveform. Zero-phase init.
 
@@ -82,16 +83,35 @@ def griffin_lim_pallas(
     matmul_dtype=jnp.bfloat16 runs the DFT matmuls with bf16 operands
     (fp32 accumulation, fp32 phase state) — faster MXU passes at a
     small spectral-convergence cost; fp32 is the parity default.
+
+    `observed=(fmask, re_in, im_in)` enables phase-aware inpainting GL
+    (see signal/griffin_lim.py): observed bins are synthesized from
+    their known complex STFT verbatim and only the hole's phase is
+    recovered. Pre-folded outside the kernel into a hole-masked
+    magnitude plus an additive (obs_re, obs_im) pair — inside the loop
+    it costs one extra VPU add per projection, no new matmuls.
     """
     assert cfg.center, "pallas GL implements the center=True layout"
     B0, F, n_bins = mag.shape
+    mag = mag.astype(jnp.float32)
+    if observed is not None:
+        fmask, re_in, im_in = observed
+        fmask = jnp.broadcast_to(
+            fmask.astype(jnp.float32), mag.shape
+        )
+        obs_re = fmask * re_in.astype(jnp.float32)
+        obs_im = fmask * im_in.astype(jnp.float32)
+        mag = (1.0 - fmask) * mag
     CB = max(min(clips_per_block, B0), 1)
     if B0 % CB:
         padb = CB - B0 % CB
-        mag = jnp.concatenate(
-            [mag, jnp.zeros((padb, F, n_bins), mag.dtype)], axis=0
-        )
+        zpad = jnp.zeros((padb, F, n_bins), jnp.float32)
+        mag = jnp.concatenate([mag, zpad], axis=0)
+        if observed is not None:
+            obs_re = jnp.concatenate([obs_re, zpad], axis=0)
+            obs_im = jnp.concatenate([obs_im, zpad], axis=0)
     B = mag.shape[0]
+    use_obs = observed is not None
     N = cfg.n_fft
     hop = cfg.hop_length
     pad = N // 2
@@ -124,9 +144,15 @@ def griffin_lim_pallas(
 
     mm_dt = matmul_dtype
 
-    def kernel(mag_ref, cosw_ref, sinw_ref, icosw_ref, isinw_ref,
-               env_ref, jl_ref, jr_ref, out_ref, re_s, im_s, pre_s,
-               pim_s, fr_s, wav_s):
+    def kernel(*refs):
+        if use_obs:
+            (mag_ref, obsre_ref, obsim_ref, cosw_ref, sinw_ref,
+             icosw_ref, isinw_ref, env_ref, jl_ref, jr_ref, out_ref,
+             re_s, im_s, pre_s, pim_s, fr_s, wav_s) = refs
+        else:
+            (mag_ref, cosw_ref, sinw_ref, icosw_ref, isinw_ref,
+             env_ref, jl_ref, jr_ref, out_ref, re_s, im_s, pre_s,
+             pim_s, fr_s, wav_s) = refs
         magv = mag_ref[:]                             # (CB, F, n_bins)
         re_s[:] = jnp.ones_like(magv)                 # zero phase: e^{i0}
         im_s[:] = jnp.zeros_like(magv)
@@ -135,8 +161,13 @@ def griffin_lim_pallas(
 
         def istft_to_wav():
             """(re_s, im_s) phase + mag → normalized padded wav in wav_s."""
-            xre = (magv * re_s[:]).reshape(CB * F, n_bins).astype(mm_dt)
-            xim = (magv * im_s[:]).reshape(CB * F, n_bins).astype(mm_dt)
+            sre = magv * re_s[:]
+            sim = magv * im_s[:]
+            if use_obs:
+                sre = sre + obsre_ref[:]
+                sim = sim + obsim_ref[:]
+            xre = sre.reshape(CB * F, n_bins).astype(mm_dt)
+            xim = sim.reshape(CB * F, n_bins).astype(mm_dt)
             fr_s[:] = (
                 jnp.dot(xre, icosw_ref[:],
                         preferred_element_type=jnp.float32)
@@ -201,9 +232,12 @@ def griffin_lim_pallas(
         istft_to_wav()
         out_ref[:, 0, :] = wav_s[:, pad : pad + T]
 
-    in_specs = [
-        pl.BlockSpec((CB, F, n_bins), lambda b: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
+    clip_spec = pl.BlockSpec((CB, F, n_bins), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [clip_spec]
+    if use_obs:
+        in_specs += [clip_spec, clip_spec]
+    in_specs += [
         pl.BlockSpec((N, n_bins), lambda b: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((N, n_bins), lambda b: (0, 0),
@@ -224,6 +258,16 @@ def griffin_lim_pallas(
     out_specs = pl.BlockSpec((CB, 1, T), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
 
+    operands = [mag]
+    if use_obs:
+        operands += [obs_re, obs_im]
+    operands += [
+        jnp.asarray(cosw, matmul_dtype), jnp.asarray(sinw, matmul_dtype),
+        jnp.asarray(icosw, matmul_dtype), jnp.asarray(isinw, matmul_dtype),
+        jnp.asarray(inv_env).reshape(1, total),
+        jnp.asarray(J_left),
+        jnp.asarray(J_right),
+    ]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, 1, T), jnp.float32),
@@ -239,12 +283,5 @@ def griffin_lim_pallas(
             pltpu.VMEM((CB, total), jnp.float32),      # waveform buffer
         ],
         interpret=interpret,
-    )(
-        mag.astype(jnp.float32),
-        jnp.asarray(cosw, matmul_dtype), jnp.asarray(sinw, matmul_dtype),
-        jnp.asarray(icosw, matmul_dtype), jnp.asarray(isinw, matmul_dtype),
-        jnp.asarray(inv_env).reshape(1, total),
-        jnp.asarray(J_left),
-        jnp.asarray(J_right),
-    )
+    )(*operands)
     return out.reshape(B, T)[:B0]

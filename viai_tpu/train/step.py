@@ -31,7 +31,7 @@ from ..nn.losses import gan_loss, masked_l1_loss
 from ..signal.griffin_lim import griffin_lim
 from ..signal.mask import MaskConfig, sample_batch_masks
 from ..signal.mel import compress, decompress
-from ..signal.stft import STFTConfig, stft_magnitude
+from ..signal.stft import STFTConfig, stft, stft_magnitude
 from .pool import init_pool, query_pool
 
 
@@ -290,7 +290,8 @@ def init_state(G, D, V, g_tx, d_tx, cfg: TrainConfig | None = None):
 # ---------------------------------------------------------------------------
 
 def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
-                  length: int | None = None, external_mask: bool = False):
+                  length: int | None = None, external_mask: bool = False,
+                  phase_aware: bool = True):
     """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
 
     Full chain: STFT → mask → G inpaint → composite (observed region is
@@ -300,7 +301,19 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
     external_mask=False: 4th arg is a PRNG key; gaps are sampled
     (training-style eval). external_mask=True: 4th arg is a
     (B, image_frames) time mask marking the REAL corrupted region
-    (1 = observed, 0 = hole) — the serving path.
+    (1 = observed, 0 = hole) — the serving path. For real corruptions
+    the caller must mark every frame whose n_fft window touches a
+    corrupted sample as hole.
+
+    phase_aware=True (default): the observed frames' COMPLEX STFT is
+    kept verbatim and Griffin-Lim recovers phase only inside the hole
+    (see signal/griffin_lim.py). The observed region then reconstructs
+    near-exactly instead of from zero phase — a large waveform-SNR win
+    for one extra fused multiply-add per GL projection. The reference
+    chain (SURVEY.md §3.2) zero-phase-GLs the whole magnitude; set
+    phase_aware=False to reproduce that for ablations. No ground-truth
+    leak either way: the mask is frame-granular, identical to what the
+    magnitude path already exposes to G.
     """
 
     @functools.partial(jax.jit, static_argnames=())
@@ -322,13 +335,22 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
         comp = real_masked * m + fake_mag * (1.0 - m)    # (B, bins, T_img)
         n_frames = cfg.stft.num_frames(wav.shape[-1])
         mag = jnp.swapaxes(comp[..., :n_frames], -1, -2)  # (B, F, bins)
+        observed = None
+        if phase_aware:
+            # XLA CSEs this with preprocess's stft_magnitude — the DFT
+            # matmuls on `wav` are computed once per compiled program.
+            re_in, im_in = stft(wav, cfg.stft)            # (B, F, bins)
+            fmask = batch["mask_img"][:, 0, :n_frames, 0][..., None]
+            observed = (fmask, re_in, im_in)
         out_len = length if length is not None else wav.shape[-1]
         if cfg.gl_backend == "pallas":
             from ..signal.pallas_gl import griffin_lim_pallas
 
             return griffin_lim_pallas(
-                mag, cfg.stft, n_iter=n_gl_iter, length=out_len
+                mag, cfg.stft, n_iter=n_gl_iter, length=out_len,
+                observed=observed,
             )
-        return griffin_lim(mag, cfg.stft, n_iter=n_gl_iter, length=out_len)
+        return griffin_lim(mag, cfg.stft, n_iter=n_gl_iter, length=out_len,
+                           observed=observed)
 
     return infer
