@@ -46,8 +46,11 @@ class TorchPatchD(torch.nn.Module):
             stride = 2 if n < cfg.n_layers else 1
             self.strides.append(stride)
             self.convs.append(torch.nn.Conv2d(cin, cout, 4, stride))
-            # InstanceNorm-with-affine == GroupNorm(groups=C).
-            self.norms.append(torch.nn.GroupNorm(cout, cout, eps=1e-5))
+            # InstanceNorm-with-affine == GroupNorm(groups=C). eps must
+            # match viai_tpu InstanceNorm (1e-6): with normal(0.02)
+            # init, pre-norm variances are small enough that an eps
+            # mismatch shows up at the 5e-4 level post-norm.
+            self.norms.append(torch.nn.GroupNorm(cout, cout, eps=1e-6))
             del cout_prev
         self.head = torch.nn.Conv2d(cout, 1, 4, 1)
 

@@ -48,10 +48,12 @@ def main(args=None):
     )
     steps_per_epoch = opt.steps_per_epoch
     if steps_per_epoch <= 0:
-        try:
-            steps_per_epoch = max(len(loader) // opt.batchSize, 1)  # type: ignore
-        except TypeError:
-            steps_per_epoch = 100
+        # Loaders advertise the TRUE per-epoch batch count (files //
+        # batchSize) via .epoch_batches — grain/native iterators have no
+        # __len__, and len(loader) would double-divide anyway since the
+        # loader already batches (ADVICE.md round-1 low #5). Synthetic
+        # and any future loaders without the attribute fall back to 100.
+        steps_per_epoch = getattr(loader, "epoch_batches", 100)
     opt.steps_per_epoch = steps_per_epoch
 
     model = create_model(opt)

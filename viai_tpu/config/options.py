@@ -57,7 +57,17 @@ class BaseOptions:
                        help="no shuffling (sequential sampling)")
         p.add_argument("--no_html", action="store_true")
         p.add_argument("--init_type", type=str, default="normal",
-                       help="kept for compatibility; flax initializers")
+                       choices=["normal", "xavier", "kaiming",
+                                "orthogonal", "lecun"],
+                       help="network weight init (pix2pix recipe; "
+                            "normal = N(0, init_gain), the reference "
+                            "default; lecun = flax default, non-parity)")
+        p.add_argument("--init_gain", type=float, default=0.02,
+                       help="scale for normal/xavier/orthogonal init")
+        p.add_argument("--no_dropout", action="store_true",
+                       help="disable the U-Net inner-decoder dropout "
+                            "(0.5, pix2pix recipe; training only — "
+                            "inference is always deterministic)")
         p.add_argument("--seed", type=int, default=0)
         # --- TPU rebuild additions ---
         p.add_argument("--sample_rate", type=int, default=16000)

@@ -56,23 +56,40 @@ def load_wav(path: str, target_sr: int = 16000) -> np.ndarray:
     return wav
 
 
+def crop_with_info(
+    wav: np.ndarray, clip_samples: int, rng
+) -> tuple[np.ndarray, int, int]:
+    """Random crop → (clip, crop_start, source_length).
+
+    The (start, length) pair lets AV datasets select the video frames
+    spanning EXACTLY the cropped audio window (ADVICE.md round-1
+    medium #1: frames sampled over the whole source are temporally
+    desynchronized from a random audio crop)."""
+    out = np.zeros(clip_samples, np.float32)
+    total = len(wav)
+    start = 0
+    if total >= clip_samples:
+        start = int(rng.integers(0, total - clip_samples + 1))
+        out[:] = wav[start : start + clip_samples]
+    else:
+        out[:total] = wav
+    return out, start, total
+
+
 def crop_or_pad(wav: np.ndarray, clip_samples: int, rng) -> np.ndarray:
     """Random clip_samples crop (zero-pad short signals) — the
     reference datasets' 2 s crop behavior (SURVEY.md §2.1)."""
-    out = np.zeros(clip_samples, np.float32)
-    if len(wav) >= clip_samples:
-        start = rng.integers(0, len(wav) - clip_samples + 1)
-        out[:] = wav[start : start + clip_samples]
-    else:
-        out[: len(wav)] = wav
-    return out
+    return crop_with_info(wav, clip_samples, rng)[0]
 
 
 class AudioFolderDataset:
     """Random-access dataset: idx → {'wav': (clip_samples,) float32}.
 
-    Deterministic per (idx, epoch_seed) crop position, so grain can
-    shard/replay it.
+    Deterministic per (seed, idx) crop position, so grain can
+    shard/replay it. The RAW grain index seeds the crop rng (not
+    idx % len), so wrapping the source with loader.EpochVariedSource
+    gives fresh crops every epoch while staying replayable
+    (ADVICE.md round-1 low #3).
     """
 
     def __init__(self, root: str, clip_samples: int = 32000,
@@ -87,8 +104,13 @@ class AudioFolderDataset:
     def __len__(self):
         return len(self.paths)
 
-    def __getitem__(self, idx: int):
+    def load_cropped(self, idx: int):
+        """idx → ({'wav': clip}, crop_start, source_samples)."""
         idx = int(idx)
         wav = load_wav(self.paths[idx % len(self.paths)], self.sample_rate)
         rng = np.random.default_rng((self.seed, idx))
-        return {"wav": crop_or_pad(wav, self.clip_samples, rng)}
+        clip, start, total = crop_with_info(wav, self.clip_samples, rng)
+        return {"wav": clip}, start, total
+
+    def __getitem__(self, idx: int):
+        return self.load_cropped(idx)[0]

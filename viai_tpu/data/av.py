@@ -21,15 +21,27 @@ import os
 
 import numpy as np
 
-from .audio import AudioFolderDataset, crop_or_pad, load_wav
+from .audio import AudioFolderDataset, crop_or_pad, crop_with_info, load_wav
 
 
-def _load_frames_npy(path, n_frames, size):
+def _window_indices(total: int, n_frames: int, window) -> np.ndarray:
+    """Frame indices spanning `window` = (t0_frac, t1_frac) of the source.
+
+    window=None → the whole source (legacy behavior, correct only when
+    the clip covers the full source)."""
+    w0, w1 = (0.0, 1.0) if window is None else window
+    hi = max(total - 1, 0)
+    return np.clip(
+        np.linspace(w0 * hi, w1 * hi, n_frames).round().astype(int), 0, hi
+    )
+
+
+def _load_frames_npy(path, n_frames, size, window=None):
     arr = np.load(path)
-    return _resample_frames(arr, n_frames, size)
+    return _resample_frames(arr, n_frames, size, window=window)
 
 
-def _load_frames_dir(path, n_frames, size):
+def _load_frames_dir(path, n_frames, size, window=None):
     from PIL import Image
 
     files = sorted(
@@ -38,7 +50,7 @@ def _load_frames_dir(path, n_frames, size):
     )
     if not files:
         raise FileNotFoundError(f"no frames in {path}")
-    idx = np.linspace(0, len(files) - 1, n_frames).astype(int)
+    idx = _window_indices(len(files), n_frames, window)
     frames = []
     for i in idx:
         img = Image.open(os.path.join(path, files[i])).convert("RGB")
@@ -47,12 +59,12 @@ def _load_frames_dir(path, n_frames, size):
     return np.stack(frames)
 
 
-def _load_frames_video(path, n_frames, size):
+def _load_frames_video(path, n_frames, size, window=None):
     import cv2
 
     cap = cv2.VideoCapture(path)
     total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-    idx = set(np.linspace(0, max(total - 1, 0), n_frames).astype(int))
+    idx = set(_window_indices(total, n_frames, window).tolist())
     got = []
     i = 0
     while True:
@@ -70,13 +82,12 @@ def _load_frames_video(path, n_frames, size):
     return _resample_frames(arr, n_frames, size)
 
 
-def _resample_frames(arr, n_frames, size):
+def _resample_frames(arr, n_frames, size, window=None):
     if arr.dtype == np.uint8:
         arr = arr.astype(np.float32) / 255.0
     arr = arr.astype(np.float32)
-    if arr.shape[0] != n_frames:
-        idx = np.linspace(0, arr.shape[0] - 1, n_frames).astype(int)
-        arr = arr[idx]
+    if window is not None or arr.shape[0] != n_frames:
+        arr = arr[_window_indices(arr.shape[0], n_frames, window)]
     if arr.shape[1] != size or arr.shape[2] != size:
         from PIL import Image
 
@@ -91,16 +102,29 @@ def _resample_frames(arr, n_frames, size):
     return arr
 
 
-def load_frames_for(stem: str, n_frames: int, size: int) -> np.ndarray:
-    """Try the supported frame layouts for `<stem>` in priority order."""
+def load_frames_for(stem: str, n_frames: int, size: int,
+                    window: tuple[float, float] | None = None) -> np.ndarray:
+    """Try the supported frame layouts for `<stem>` in priority order.
+
+    `window` = (t0_frac, t1_frac) of the SOURCE duration: selects the
+    frames temporally aligned with the audio crop (ADVICE.md medium #1).
+    """
     if os.path.exists(stem + ".npy"):
-        return _load_frames_npy(stem + ".npy", n_frames, size)
+        return _load_frames_npy(stem + ".npy", n_frames, size, window)
     if os.path.isdir(stem):
-        return _load_frames_dir(stem, n_frames, size)
+        return _load_frames_dir(stem, n_frames, size, window)
     for ext in (".mp4", ".avi", ".mkv", ".webm"):
         if os.path.exists(stem + ext):
-            return _load_frames_video(stem + ext, n_frames, size)
+            return _load_frames_video(stem + ext, n_frames, size, window)
     raise FileNotFoundError(f"no frame source for {stem}")
+
+
+def _crop_window(start: int, clip_samples: int, total: int):
+    """Audio crop (start, clip_samples, source total) → frame-window
+    fractions. Short sources (total ≤ clip) span the whole video."""
+    if total <= 0 or total <= clip_samples:
+        return (0.0, 1.0)
+    return (start / total, min((start + clip_samples) / total, 1.0))
 
 
 class AVFolderDataset(AudioFolderDataset):
@@ -114,9 +138,12 @@ class AVFolderDataset(AudioFolderDataset):
         self.frame_size = frame_size
 
     def __getitem__(self, idx: int):
-        item = super().__getitem__(idx)
+        item, start, total = self.load_cropped(idx)
         stem = os.path.splitext(self.paths[int(idx) % len(self.paths)])[0]
-        item["frames"] = load_frames_for(stem, self.n_frames, self.frame_size)
+        item["frames"] = load_frames_for(
+            stem, self.n_frames, self.frame_size,
+            window=_crop_window(start, self.clip_samples, total),
+        )
         return item
 
 
@@ -155,10 +182,12 @@ class MusicesManifest:
         e = self.entries[int(idx) % len(self.entries)]
         wav = load_wav(e["audio"], self.sample_rate)
         rng = np.random.default_rng((self.seed, int(idx)))
-        item = {"wav": crop_or_pad(wav, self.clip_samples, rng)}
+        clip, start, total = crop_with_info(wav, self.clip_samples, rng)
+        item = {"wav": clip}
         if e["frames"]:
             stem = os.path.splitext(e["frames"])[0]
             item["frames"] = load_frames_for(
-                stem, self.n_frames, self.frame_size
+                stem, self.n_frames, self.frame_size,
+                window=_crop_window(start, self.clip_samples, total),
             )
         return item

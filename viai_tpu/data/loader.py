@@ -18,10 +18,37 @@ from .av import AVFolderDataset, MusicesManifest
 from .synthetic import SyntheticAVDataset, SyntheticConfig
 
 
+class EpochVariedSource:
+    """Virtual-epoch multiplier for grain sources.
+
+    grain's IndexSampler hands data sources record keys in [0, len) on
+    EVERY epoch, so a source seeding its crop rng with (seed, idx)
+    re-reads the same crop position per file each epoch (ADVICE.md
+    round-1 low #3). Multiplying the advertised length by
+    `virtual_epochs` makes the raw key encode (epoch, record): the
+    wrapped source's `idx % n_files` still picks the file while
+    (seed, idx) now varies per epoch — fresh crops, fully replayable.
+    """
+
+    def __init__(self, src, virtual_epochs: int = 1024):
+        self.src = src
+        self.virtual_epochs = virtual_epochs
+
+    def __len__(self):
+        return len(self.src) * self.virtual_epochs
+
+    def __getitem__(self, idx):
+        return self.src[int(idx)]
+
+
 def _grain_loader(source, batch_size: int, n_workers: int, seed: int,
-                  shuffle: bool = True, num_epochs: int | None = None):
+                  shuffle: bool = True, num_epochs: int | None = None,
+                  vary_epochs: bool = False):
     import grain.python as grain
 
+    epoch_records = len(source)
+    if vary_epochs and shuffle and num_epochs is None:
+        source = EpochVariedSource(source)
     sampler = grain.IndexSampler(
         num_records=len(source),
         shuffle=shuffle,
@@ -29,12 +56,16 @@ def _grain_loader(source, batch_size: int, n_workers: int, seed: int,
         num_epochs=num_epochs,
         shard_options=grain.NoSharding(),
     )
-    return grain.DataLoader(
+    loader = grain.DataLoader(
         data_source=source,
         sampler=sampler,
         operations=[grain.Batch(batch_size=batch_size, drop_remainder=True)],
         worker_count=n_workers,
     )
+    # TRUE epoch length (files, not virtual records) for epoch-addressed
+    # lr schedules (VERDICT.md round-1 weak #5 / ADVICE.md low #5).
+    loader.epoch_batches = max(epoch_records // batch_size, 1)
+    return loader
 
 
 class NativeAudioIterator:
@@ -51,6 +82,7 @@ class NativeAudioIterator:
             paths, clip_samples=clip_samples, target_sr=sample_rate,
             batch=batch_size, n_workers=max(n_workers, 1), seed=seed,
         )
+        self.epoch_batches = max(len(paths) // batch_size, 1)
 
     def __iter__(self):
         return self
@@ -104,18 +136,21 @@ def create_dataloader(
             )
         src = AudioFolderDataset(dataroot, clip_samples, sample_rate, seed)
         return _grain_loader(src, batch_size, n_threads, seed,
-                             shuffle=shuffle, num_epochs=num_epochs)
+                             shuffle=shuffle, num_epochs=num_epochs,
+                             vary_epochs=True)
     if dataset_mode == "av":
         src = AVFolderDataset(
             dataroot, clip_samples, sample_rate, n_frames, frame_size, seed
         )
         return _grain_loader(src, batch_size, n_threads, seed,
-                             shuffle=shuffle, num_epochs=num_epochs)
+                             shuffle=shuffle, num_epochs=num_epochs,
+                             vary_epochs=True)
     if dataset_mode == "musices":
         src = MusicesManifest(
             dataroot, split, clip_samples, sample_rate, n_frames,
             frame_size, seed,
         )
         return _grain_loader(src, batch_size, n_threads, seed,
-                             shuffle=shuffle, num_epochs=num_epochs)
+                             shuffle=shuffle, num_epochs=num_epochs,
+                             vary_epochs=True)
     raise ValueError(f"unknown dataset_mode: {dataset_mode}")

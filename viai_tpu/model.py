@@ -83,16 +83,23 @@ class VIAIModel:
         input_nc = opt.input_nc
         if self.cfg.multi_res and input_nc == 2:
             input_nc = 3  # + coarse-hop spectrogram channel
+        init_type = getattr(opt, "init_type", "normal")
+        init_gain = getattr(opt, "init_gain", 0.02)
+        dropout = 0.0 if getattr(opt, "no_dropout", False) else 0.5
         G = define_G(input_nc, opt.output_nc, opt.ngf, opt.norm,
                      opt.dtype, fusion_channels=fusion, seed=opt.seed,
-                     upsample=getattr(opt, "upsample", "deconv"))
+                     upsample=getattr(opt, "upsample", "deconv"),
+                     init_type=init_type, init_gain=init_gain,
+                     dropout=dropout)
         d_in = (input_nc + opt.output_nc)
         D = define_D(d_in, opt.ndf, opt.n_layers_D, opt.norm, opt.dtype,
-                     seed=opt.seed + 1)
+                     seed=opt.seed + 1, init_type=init_type,
+                     init_gain=init_gain)
         V = None
         if use_video:
             V = define_V(opt.fusion_channels, bott_time, dtype=opt.dtype,
-                         seed=opt.seed + 2)
+                         seed=opt.seed + 2, init_type=init_type,
+                         init_gain=init_gain)
 
         lr = getattr(opt, "lr", 2e-4)
         sched_kw = dict(
@@ -128,6 +135,8 @@ class VIAIModel:
         self._key = jax.random.key(opt.seed)
         self._input = None
         self._losses: dict = {}
+        self._last_step_key = None   # step key of the latest train step
+        self._vis_infer = None       # lazy external-mask infer for visuals
 
     # ---- reference BaseModel surface ------------------------------------
 
@@ -165,6 +174,7 @@ class VIAIModel:
             self._input.get("frames_valid"),
         )
         self._losses = metrics
+        self._last_step_key = sub
 
     def get_current_losses(self) -> dict[str, float]:
         return {k: float(v) for k, v in self._losses.items()}
@@ -206,22 +216,42 @@ class VIAIModel:
 
     def get_current_visuals(self) -> dict[str, np.ndarray]:
         """Reference BaseModel API: current input/output spectrogram
-        images scaled to [0, 1] (H, W) numpy arrays for display."""
+        images scaled to [0, 1] (H, W) numpy arrays for display.
+
+        Uses the EXACT mask of the last train step (step_mask_key of the
+        step key), and inpaints with that same mask via an external-mask
+        infer — the displayed real/masked/inpainted triplet is
+        internally consistent (VERDICT.md round-1 weak #4)."""
         if self._input is None:
             return {}
-        from .train.step import preprocess
+        from .train.step import make_infer_fn, preprocess, step_mask_key
 
-        key = jax.random.fold_in(self._key, 0)
+        key = (
+            step_mask_key(self._last_step_key)
+            if self._last_step_key is not None
+            else jax.random.fold_in(self._key, 0)
+        )
         pre = preprocess(self._input["wav"], key, self.cfg)
         out = {
             "real": np.asarray((pre["real_img"][0, :, :, 0] + 1) / 2),
             "masked": np.asarray((pre["masked_img"][0, :, :, 0] + 1) / 2),
         }
-        fake = self.test(key)
+        if self._vis_infer is None:
+            self._vis_infer = make_infer_fn(
+                self.g_def, self.v_def, self.cfg,
+                n_gl_iter=getattr(self.opt, "gl_iters", 32),
+                external_mask=True,
+                phase_aware=not getattr(self.opt, "no_phase_aware", False),
+            )
+        tmask = pre["mask_img"][:, 0, :, 0]
+        fake = self._vis_infer(
+            self.state["g"], self.state["v"], self._input["wav"], tmask,
+            self._input["frames"],
+        )
         from .signal import stft_magnitude
         from .signal.mel import compress
 
-        mag = stft_magnitude(jnp.asarray(fake[:1]), self.cfg.stft)
+        mag = stft_magnitude(fake[:1], self.cfg.stft)
         img = compress(jnp.swapaxes(mag, -1, -2))
         out["inpainted"] = np.asarray((img[0] + 1) / 2)
         return out

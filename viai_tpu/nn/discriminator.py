@@ -29,19 +29,25 @@ class DiscriminatorConfig:
     n_layers: int = 3
     norm: str = "instance"
     dtype: tp.Any = jnp.float32
+    init_type: str = "normal"   # pix2pix init recipe (nn/initializers.py)
+    init_gain: float = 0.02
 
 
 class PatchDiscriminator(nnx.Module):
     """→ (B, H', W', 1) patch logits."""
 
     def __init__(self, cfg: DiscriminatorConfig, rngs: nnx.Rngs):
+        from .initializers import kernel_init_for
+
         self.cfg = cfg
         dt = cfg.dtype
+        kinit = kernel_init_for(cfg.init_type, cfg.init_gain)
         layers = nnx.List([])
         cin, cout = cfg.in_channels, cfg.ndf
         layers.append(
             nnx.Conv(cin, cout, (4, 4), strides=(2, 2), padding="SAME",
-                     dtype=dt, param_dtype=jnp.float32, rngs=rngs)
+                     dtype=dt, param_dtype=jnp.float32, rngs=rngs,
+                     kernel_init=kinit)
         )
         self.norms = nnx.List([_norm('none', 0, dt, rngs)])
         for n in range(1, cfg.n_layers + 1):
@@ -50,13 +56,15 @@ class PatchDiscriminator(nnx.Module):
             stride = (2, 2) if n < cfg.n_layers else (1, 1)
             layers.append(
                 nnx.Conv(cin, cout, (4, 4), strides=stride, padding="SAME",
-                         dtype=dt, param_dtype=jnp.float32, rngs=rngs)
+                         dtype=dt, param_dtype=jnp.float32, rngs=rngs,
+                         kernel_init=kinit)
             )
             self.norms.append(_norm(cfg.norm, cout, dt, rngs))
         self.convs = layers
         self.head = nnx.Conv(
             cout, 1, (4, 4), strides=(1, 1), padding="SAME",
             dtype=dt, param_dtype=jnp.float32, rngs=rngs,
+            kernel_init=kinit,
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:

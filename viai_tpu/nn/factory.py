@@ -26,10 +26,14 @@ def define_G(
     fusion_channels: int = 0,
     seed: int = 0,
     upsample: str = "deconv",
+    init_type: str = "normal",
+    init_gain: float = 0.02,
+    dropout: float = 0.0,
 ) -> UNetGenerator:
     cfg = GeneratorConfig(
         in_channels=input_nc, out_channels=output_nc, ngf=ngf,
         norm=norm, dtype=_DTYPES[dtype], upsample=upsample,
+        init_type=init_type, init_gain=init_gain, dropout=dropout,
     )
     return UNetGenerator(cfg, nnx.Rngs(seed), fusion_channels=fusion_channels)
 
@@ -41,10 +45,13 @@ def define_D(
     norm: str = "instance",
     dtype: str = "float32",
     seed: int = 1,
+    init_type: str = "normal",
+    init_gain: float = 0.02,
 ) -> PatchDiscriminator:
     cfg = DiscriminatorConfig(
         in_channels=input_nc, ndf=ndf, n_layers=n_layers_D,
         norm=norm, dtype=_DTYPES[dtype],
+        init_type=init_type, init_gain=init_gain,
     )
     return PatchDiscriminator(cfg, nnx.Rngs(seed))
 
@@ -55,9 +62,11 @@ def define_V(
     base: int = 32,
     dtype: str = "float32",
     seed: int = 2,
+    init_type: str = "normal",
+    init_gain: float = 0.02,
 ) -> VideoFeatureNet:
     cfg = VideoNetConfig(
         base=base, out_features=out_features, out_time=out_time,
-        dtype=_DTYPES[dtype],
+        dtype=_DTYPES[dtype], init_type=init_type, init_gain=init_gain,
     )
     return VideoFeatureNet(cfg, nnx.Rngs(seed))

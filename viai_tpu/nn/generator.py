@@ -46,6 +46,16 @@ class GeneratorConfig:
     # parity); "resize" = nearest-resize + 3x3 conv (faster XLA
     # lowering on TPU, no checkerboard artifacts).
     upsample: str = "deconv"
+    # pix2pix init recipe (VERDICT.md item #4): normal(0, 0.02) is the
+    # reference default; see nn/initializers.py for the full menu.
+    init_type: str = "normal"
+    init_gain: float = 0.02
+    # Decoder dropout in the 3 deepest up-blocks (pix2pix U-Net inner
+    # decoder dropout, active unless the reference's --no_dropout).
+    # Applied FUNCTIONALLY: only when __call__ receives dropout_key, so
+    # inference stays deterministic and no RNG state enters the
+    # optimizer-visible param pytree.
+    dropout: float = 0.0
 
 
 class InstanceNorm(nnx.Module):
@@ -103,10 +113,12 @@ def _norm(norm: str, features: int, dtype, rngs: nnx.Rngs):
 class DownBlock(nnx.Module):
     """conv(4x4, stride s) → norm → LeakyReLU(0.2)."""
 
-    def __init__(self, cin, cout, stride, norm, dtype, rngs: nnx.Rngs):
+    def __init__(self, cin, cout, stride, norm, dtype, rngs: nnx.Rngs,
+                 kernel_init=None):
+        kw = {"kernel_init": kernel_init} if kernel_init else {}
         self.conv = nnx.Conv(
             cin, cout, kernel_size=(4, 4), strides=stride, padding="SAME",
-            dtype=dtype, param_dtype=jnp.float32, rngs=rngs,
+            dtype=dtype, param_dtype=jnp.float32, rngs=rngs, **kw,
         )
         self.norm = _norm(norm, cout, dtype, rngs)
 
@@ -122,19 +134,20 @@ class UpBlock(nnx.Module):
     """
 
     def __init__(self, cin, cout, stride, norm, dtype, rngs: nnx.Rngs,
-                 mode: str = "deconv"):
+                 mode: str = "deconv", kernel_init=None):
         self.mode = mode
         self.stride = stride
+        kw = {"kernel_init": kernel_init} if kernel_init else {}
         if mode == "resize":
             self.conv = nnx.Conv(
                 cin, cout, kernel_size=(3, 3), padding="SAME",
-                dtype=dtype, param_dtype=jnp.float32, rngs=rngs,
+                dtype=dtype, param_dtype=jnp.float32, rngs=rngs, **kw,
             )
         else:
             self.conv = nnx.ConvTranspose(
                 cin, cout, kernel_size=(4, 4), strides=stride,
                 padding="SAME", dtype=dtype, param_dtype=jnp.float32,
-                rngs=rngs,
+                rngs=rngs, **kw,
             )
         self.norm = _norm(norm, cout, dtype, rngs)
 
@@ -160,15 +173,18 @@ class UNetGenerator(nnx.Module):
 
     def __init__(self, cfg: GeneratorConfig, rngs: nnx.Rngs,
                  fusion_channels: int = 0):
+        from .initializers import kernel_init_for
+
         self.cfg = cfg
         ngf, dt, norm = cfg.ngf, cfg.dtype, cfg.norm
+        kinit = kernel_init_for(cfg.init_type, cfg.init_gain)
         chans = [cfg.in_channels] + [m * ngf for m in cfg.mults]
         self.downs = nnx.List([])
         for i, s in enumerate(cfg.strides):
             # First block skips norm (pix2pix convention).
             blk = DownBlock(
                 chans[i], chans[i + 1], s,
-                "none" if i == 0 else norm, dt, rngs,
+                "none" if i == 0 else norm, dt, rngs, kernel_init=kinit,
             )
             self.downs.append(blk)
         bott = chans[-1]
@@ -177,22 +193,28 @@ class UNetGenerator(nnx.Module):
             self.fuse = nnx.Conv(
                 bott + fusion_channels, bott, kernel_size=(1, 1),
                 dtype=dt, param_dtype=jnp.float32, rngs=rngs,
+                kernel_init=kinit,
             )
         self.ups = nnx.List([])
         up_in = bott
         for i, s in reversed(list(enumerate(cfg.strides))):
             cout = chans[i] if i > 0 else ngf
             self.ups.append(UpBlock(up_in, cout, s, norm, dt, rngs,
-                                    mode=cfg.upsample))
+                                    mode=cfg.upsample, kernel_init=kinit))
             # Next up-block consumes skip concat.
             up_in = cout + chans[i] if i > 0 else cout
         self.head = nnx.Conv(
             ngf + cfg.in_channels, cfg.out_channels, kernel_size=(3, 3),
             padding="SAME", dtype=dt, param_dtype=jnp.float32, rngs=rngs,
+            kernel_init=kinit,
         )
+        # Dropout in the N deepest decoder blocks (pix2pix applies it to
+        # the inner up-blocks); self.ups is ordered deep → shallow.
+        self._dropout_blocks = min(3, len(self.ups))
 
     def __call__(self, x: jax.Array,
-                 fusion_features: jax.Array | None = None) -> jax.Array:
+                 fusion_features: jax.Array | None = None,
+                 dropout_key: jax.Array | None = None) -> jax.Array:
         x0 = x.astype(self.cfg.dtype)
         h = x0
         skips = []
@@ -207,8 +229,15 @@ class UNetGenerator(nnx.Module):
                 f[:, None, :, :], (f.shape[0], h.shape[1], *f.shape[1:])
             )
             h = self.fuse(jnp.concatenate([h, f], axis=-1))
+        use_drop = self.cfg.dropout > 0.0 and dropout_key is not None
         for i, blk in enumerate(self.ups):
             h = blk(h)
+            if use_drop and i < self._dropout_blocks:
+                keep = 1.0 - self.cfg.dropout
+                m = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_key, i), keep, h.shape
+                )
+                h = jnp.where(m, h / keep, 0.0).astype(h.dtype)
             skip = skips[len(self.ups) - 1 - i]
             h = jnp.concatenate([h, skip], axis=-1)
         out = self.head(h)

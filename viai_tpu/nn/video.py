@@ -35,14 +35,19 @@ class VideoNetConfig:
     out_features: int = 256   # fusion channel width
     out_time: int = 16        # generator bottleneck time axis
     dtype: tp.Any = jnp.float32
+    init_type: str = "normal"   # pix2pix init recipe (nn/initializers.py)
+    init_gain: float = 0.02
 
 
 class VideoFeatureNet(nnx.Module):
     """(B, T, H, W, 3) frames → (B, out_time, out_features)."""
 
     def __init__(self, cfg: VideoNetConfig, rngs: nnx.Rngs):
+        from .initializers import kernel_init_for
+
         self.cfg = cfg
         dt = cfg.dtype
+        kinit = kernel_init_for(cfg.init_type, cfg.init_gain)
         chans = [cfg.in_channels] + [m * cfg.base for m in cfg.mults]
         self.convs = nnx.List([])
         self.norms = nnx.List([])
@@ -50,7 +55,7 @@ class VideoFeatureNet(nnx.Module):
             self.convs.append(
                 nnx.Conv(chans[i], chans[i + 1], (3, 3, 3), strides=s,
                          padding="SAME", dtype=dt, param_dtype=jnp.float32,
-                         rngs=rngs)
+                         rngs=rngs, kernel_init=kinit)
             )
             self.norms.append(
                 nnx.GroupNorm(num_features=chans[i + 1],
@@ -59,7 +64,7 @@ class VideoFeatureNet(nnx.Module):
             )
         self.proj = nnx.Linear(
             chans[-1], cfg.out_features, dtype=dt,
-            param_dtype=jnp.float32, rngs=rngs,
+            param_dtype=jnp.float32, rngs=rngs, kernel_init=kinit,
         )
 
     def __call__(self, frames: jax.Array) -> jax.Array:

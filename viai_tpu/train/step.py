@@ -67,6 +67,17 @@ class TrainConfig:
 # SURVEY.md §3.1/§3.3).
 # ---------------------------------------------------------------------------
 
+def step_mask_key(step_key: jax.Array) -> jax.Array:
+    """The mask key train_step derives internally from its step key.
+
+    Exposed so visuals/metrics can re-create the EXACT mask a training
+    step used (VERDICT.md round-1 weak #4: displayed triplets must show
+    the trained batch, not a re-sampled mask). Must stay in lockstep
+    with train_step's `jax.random.split(key, 3)`.
+    """
+    return jax.random.split(step_key, 3)[0]
+
+
 def preprocess(wav: jax.Array, key: jax.Array, cfg: TrainConfig):
     """(B, T) waveform + key → dict of NHWC spectrogram images.
 
@@ -157,7 +168,8 @@ def make_train_step(
     (SURVEY.md §2.1 "Task models").
     """
 
-    def _g_forward(g_state, v_state, batch, frames, frames_valid=None):
+    def _g_forward(g_state, v_state, batch, frames, frames_valid=None,
+                   dropout_key=None):
         G = nnx.merge(g_def, g_state)
         feats = None
         if cfg.use_video:
@@ -167,7 +179,7 @@ def make_train_step(
                 # Mixed audio-visual batches [B:11]: clips without video
                 # contribute zero fusion features (and zero V-gradient).
                 feats = feats * frames_valid[:, None, None]
-        return G(_g_input(batch), feats)
+        return G(_g_input(batch), feats, dropout_key=dropout_key)
 
     g_forward = (
         jax.checkpoint(_g_forward, static_argnums=())
@@ -197,9 +209,11 @@ def make_train_step(
             return new_pool, fake_in
         return state.get("pool"), fake_in
 
-    def g_loss_fn(gv_state, d_state, batch, frames, frames_valid):
+    def g_loss_fn(gv_state, d_state, batch, frames, frames_valid,
+                  dropout_key=None):
         g_state, v_state = gv_state
-        fake = g_forward(g_state, v_state, batch, frames, frames_valid)
+        fake = g_forward(g_state, v_state, batch, frames, frames_valid,
+                         dropout_key)
         if cfg.gan_mode == "hinge":
             l_gan = -jnp.mean(d_logits(d_state, batch, fake))
         else:
@@ -214,7 +228,10 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, wav, frames, key, frames_valid=None):
-        k_mask, k_pool = jax.random.split(key)
+        # One dropout key per step, shared by every G forward in the
+        # step — the reference computes fake once and reuses it for
+        # both backward passes, so the dropout realization must match.
+        k_mask, k_pool, k_drop = jax.random.split(key, 3)
         batch = preprocess(wav, k_mask, cfg)
         gv = (state["g"], state["v"])
 
@@ -222,7 +239,7 @@ def make_train_step(
             # Reference ordering: D steps on current fake, then G
             # differentiates against the UPDATED D.
             fake = g_forward(state["g"], state["v"], batch, frames,
-                             frames_valid)
+                             frames_valid, k_drop)
             pool, fake_d_in = pooled_fake_input(state, batch, fake, k_pool)
             (_, d_metrics), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state["d"], batch, fake_d_in)
@@ -230,12 +247,12 @@ def make_train_step(
             d_new = optax.apply_updates(state["d"], d_upd)
             (_, (_, g_metrics)), g_grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True)(gv, d_new, batch, frames,
-                                         frames_valid)
+                                         frames_valid, k_drop)
         else:
             # Simultaneous: both grads against pre-update D; one G fwd.
             (_, (fake, g_metrics)), g_grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True)(gv, state["d"], batch, frames,
-                                         frames_valid)
+                                         frames_valid, k_drop)
             pool, fake_d_in = pooled_fake_input(state, batch, fake, k_pool)
             (_, d_metrics), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state["d"], batch, fake_d_in)
