@@ -118,6 +118,87 @@ def test_native_decode_edge_cases():
     del struct
 
 
+def _wav_bytes(fmt_tag, bits, sr, payload, extensible_sub=None):
+    """Hand-rolled RIFF/WAVE container (mono) for format edge cases."""
+    import struct
+
+    if extensible_sub is not None:
+        # fmt payload: standard 16 + cbSize(22) + validBits + chanMask
+        # + SubFormat GUID (first 2 bytes = the real format code).
+        guid = struct.pack("<H", extensible_sub) + b"\x00\x00" + bytes(12)
+        fmt_payload = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, 1, sr, sr * bits // 8, bits // 8, bits,
+            22, bits, 4,
+        ) + guid
+    else:
+        fmt_payload = struct.pack(
+            "<HHIIHH", fmt_tag, 1, sr, sr * bits // 8, bits // 8, bits
+        )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_native_decode_extensible_float32():
+    """WAVE_FORMAT_EXTENSIBLE float32 must decode via the SubFormat
+    GUID, not be remapped to int32 PCM (ADVICE.md round-1 low #4)."""
+    from viai_tpu import native
+
+    if not native.AVAILABLE:
+        pytest.skip("native lib unavailable")
+    sr = 8000
+    x = (0.5 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(
+        np.float32)
+    buf = _wav_bytes(None, 32, sr, x.tobytes(), extensible_sub=3)
+    y, got_sr = native.decode_wav(buf)
+    assert got_sr == sr
+    np.testing.assert_allclose(y, x, atol=1e-6)
+    # Extensible PCM16 also resolves via the GUID.
+    x16 = (x * 32767).astype(np.int16)
+    buf16 = _wav_bytes(None, 16, sr, x16.tobytes(), extensible_sub=1)
+    y16, _ = native.decode_wav(buf16)
+    np.testing.assert_allclose(y16, x16 / 32768.0, atol=1e-6)
+
+
+def test_native_decode_8bit_full_length():
+    """8-bit mono files must decode ALL samples (the old fl/2 buffer
+    sizing truncated them to roughly half — ADVICE.md round-1 low #4).
+    decode_wav sizes from python, but the loader path uses the C++
+    buffer: pull a batch from a dataroot of one 8-bit file and check
+    content from the file's second half shows up."""
+    from viai_tpu import native
+
+    if not native.AVAILABLE:
+        pytest.skip("native lib unavailable")
+    sr = 16000
+    n = sr * 2
+    # Silence in the first half, loud square wave in the second.
+    x = np.zeros(n, np.float32)
+    x[n // 2:] = 0.75
+    pcm8 = ((x * 127) + 128).clip(0, 255).astype(np.uint8)
+    buf = _wav_bytes(1, 8, sr, pcm8.tobytes())
+    y, got_sr = native.decode_wav(buf)
+    assert got_sr == sr and len(y) == n
+    assert y[-1] > 0.5, "second half missing: 8-bit decode truncated"
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "a.wav")
+        with open(p, "wb") as f:
+            f.write(buf)
+        L = native.NativeClipLoader([p], clip_samples=n, batch=2,
+                                    n_workers=1, queue_depth=2, seed=0)
+        try:
+            b = L.next()
+        finally:
+            L.close()
+        # The crop is the whole file; its second half must be loud.
+        assert b[:, -100:].min() > 0.5, (
+            "loader's C++ decode buffer truncated the 8-bit file"
+        )
+
+
 def test_native_loader_stress(wav_dir):
     """Sustained multi-worker pulls: no deadlock, no garbage batches."""
     from viai_tpu import native

@@ -59,6 +59,17 @@ int64_t viai_decode_wav(const uint8_t* buf, int64_t len, float* out,
       channels = rd_u16(hdr + 10);
       sr = rd_u32(hdr + 12);
       bits = rd_u16(hdr + 22);
+      if (fmt == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the first
+        // two bytes of the SubFormat GUID at payload offset 24
+        // (after cbSize/validBits/channelMask). Extensible float32
+        // files were previously mis-decoded as int32 PCM
+        // (ADVICE.md round-1 low #4).
+        if (chunk_len >= 40 && pos + 8 + 26 <= len)
+          fmt = rd_u16(hdr + 8 + 24);
+        else
+          fmt = 1;  // malformed extension: assume PCM layout
+      }
     } else if (!memcmp(hdr, "data", 4)) {
       data = hdr + 8;
       data_len = chunk_len;
@@ -68,7 +79,6 @@ int64_t viai_decode_wav(const uint8_t* buf, int64_t len, float* out,
     pos += 8 + chunk_len + (chunk_len & 1);
   }
   if (!data || !channels || !sr) return -1;
-  if (fmt == 0xFFFE) fmt = 1;  // WAVE_FORMAT_EXTENSIBLE: assume PCM layout
   *sr_out = (int32_t)sr;
   int bytes_per = bits / 8;
   if (bytes_per == 0) return -1;
@@ -156,7 +166,10 @@ struct Loader {
         size_t got = fread(filebuf.data(), 1, fl, f);
         fclose(f);
         if ((long)got != fl) continue;
-        decoded.resize(fl / 2 + 8);
+        // Worst case is 8-bit mono: one OUTPUT sample per file byte
+        // (fl/2 truncated those files to half their samples —
+        // ADVICE.md round-1 low #4).
+        decoded.resize(fl + 8);
         int32_t sr = 0;
         int64_t n = viai_decode_wav(filebuf.data(), fl, decoded.data(),
                                     decoded.size(), &sr);
