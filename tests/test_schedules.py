@@ -44,3 +44,70 @@ def test_step_timer():
     dt = t.tick()
     assert dt is not None and dt > 0
     assert t.throughput(32) > 0
+
+
+# ---------------------------------------------------------------------------
+# plateau policy (VERDICT.md round-1 missing #6): reduce_on_plateau
+# chained after Adam, loss fed as value= inside the compiled step.
+# ---------------------------------------------------------------------------
+
+def test_plateau_scale_drops_on_stagnant_loss():
+    import jax.numpy as jnp
+
+    from viai_tpu.train.schedules import adam, plateau_kwargs, plateau_scale
+
+    tx = adam(1e-3, plateau=dict(plateau_kwargs(1), patience=3))
+    params = {"w": jnp.ones(4)}
+    st = tx.init(params)
+    assert plateau_scale(st) == 1.0
+    g = {"w": jnp.full(4, 0.1)}
+    # Constant loss: first update sets best, then `patience` stagnant
+    # updates trigger one ×0.2 reduction.
+    for _ in range(4):
+        _, st = tx.update(g, st, params, value=jnp.asarray(1.0))
+    assert np.isclose(plateau_scale(st), 0.2), plateau_scale(st)
+    # Stagnation continues → compounding reductions (0.2^k).
+    for _ in range(6):
+        _, st = tx.update(g, st, params, value=jnp.asarray(1.0))
+    k = np.log(plateau_scale(st)) / np.log(0.2)
+    assert k > 1 and np.isclose(k, round(k), atol=1e-3), plateau_scale(st)
+
+
+def test_plateau_policy_schedule_is_constant_base():
+    s = make_schedule("plateau", 2e-4)
+    assert float(s(0)) == float(s(10_000)) == 2e-4
+
+
+def test_adam_without_plateau_ignores_value():
+    import jax.numpy as jnp
+
+    from viai_tpu.train.schedules import adam, plateau_scale
+
+    tx = adam(1e-3)
+    params = {"w": jnp.ones(2)}
+    st = tx.init(params)
+    _, st = tx.update({"w": jnp.ones(2)}, st, params,
+                      value=jnp.asarray(5.0))
+    assert plateau_scale(st) is None
+
+
+def test_train_step_runs_with_plateau_optimizer():
+    import jax
+    import jax.numpy as jnp
+
+    from viai_tpu.testing import TINY_CFG, tiny_models, tone_batch
+    from viai_tpu.train import init_state, make_train_step
+    from viai_tpu.train.schedules import adam, plateau_kwargs, plateau_scale
+
+    G, D, V = tiny_models()
+    pk = dict(plateau_kwargs(1), patience=2)
+    g_tx, d_tx = adam(2e-4, plateau=pk), adam(2e-4, plateau=pk)
+    (g_def, d_def, v_def), state = init_state(G, D, V, g_tx, d_tx)
+    step = make_train_step(g_def, d_def, v_def, g_tx, d_tx, TINY_CFG)
+    wav = jnp.asarray(tone_batch(2))
+    key = jax.random.key(0)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, wav, None, sub)
+    assert np.isfinite(float(metrics["loss_G"]))
+    assert plateau_scale(state["g_opt"]) in (1.0, 0.2)  # live state exists

@@ -160,7 +160,8 @@ class TrainOptions(BaseOptions):
         p.add_argument("--hole_weight", type=float, default=1.0)
         p.add_argument("--pool_size", type=int, default=0)
         p.add_argument("--lr_policy", type=str, default="lambda",
-                       choices=["lambda", "step", "cosine", "constant"])
+                       choices=["lambda", "step", "plateau", "cosine",
+                                "constant"])
         p.add_argument("--lr_decay_iters", type=int, default=50)
         p.add_argument("--update_order", type=str, default="simultaneous",
                        choices=["simultaneous", "sequential"])

@@ -35,6 +35,8 @@ from .train import (
     make_mesh,
     make_schedule,
     make_train_step,
+    plateau_kwargs,
+    plateau_scale,
     replicate,
 )
 
@@ -109,10 +111,16 @@ class VIAIModel:
             steps_per_epoch=max(getattr(opt, "steps_per_epoch", 1), 1),
         )
         policy = getattr(opt, "lr_policy", "constant")
+        plateau_kw = (
+            plateau_kwargs(sched_kw["steps_per_epoch"])
+            if policy == "plateau" else None
+        )
         self.g_tx = adam(make_schedule(policy, lr, **sched_kw),
-                         beta1=getattr(opt, "beta1", 0.5))
+                         beta1=getattr(opt, "beta1", 0.5),
+                         plateau=plateau_kw)
         self.d_tx = adam(make_schedule(policy, lr, **sched_kw),
-                         beta1=getattr(opt, "beta1", 0.5))
+                         beta1=getattr(opt, "beta1", 0.5),
+                         plateau=plateau_kw)
 
         (self.g_def, self.d_def, self.v_def), self.state = init_state(
             G, D, V, self.g_tx, self.d_tx, self.cfg
@@ -191,7 +199,9 @@ class VIAIModel:
             getattr(self.opt, "lr_policy", "constant"),
             getattr(self.opt, "lr", 2e-4), **sched_kw,
         )
-        return float(sched(int(self.state["step"])))
+        lr = float(sched(int(self.state["step"])))
+        scale = plateau_scale(self.state["g_opt"])
+        return lr * scale if scale is not None else lr
 
     def update_learning_rate(self):
         """Reference BaseModel API: per-epoch lr update. The schedule is

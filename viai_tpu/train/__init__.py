@@ -17,12 +17,13 @@ from .mesh import (
     shard_batch,
 )
 from .pool import init_pool, query_pool
-from .schedules import adam, make_schedule
+from .schedules import adam, make_schedule, plateau_kwargs, plateau_scale
 
 __all__ = [
     "TrainConfig", "init_state", "make_train_step", "make_infer_fn",
     "preprocess", "make_mesh", "batch_sharding", "replicated",
     "shard_batch", "replicate", "adam", "make_schedule",
+    "plateau_kwargs", "plateau_scale",
     "global_batch_from_local", "maybe_initialize_distributed",
     "init_pool", "query_pool",
 ]

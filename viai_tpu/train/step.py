@@ -243,7 +243,8 @@ def make_train_step(
             pool, fake_d_in = pooled_fake_input(state, batch, fake, k_pool)
             (_, d_metrics), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state["d"], batch, fake_d_in)
-            d_upd, d_opt = d_tx.update(d_grads, state["d_opt"], state["d"])
+            d_upd, d_opt = d_tx.update(d_grads, state["d_opt"], state["d"],
+                                       value=d_metrics["loss_D"])
             d_new = optax.apply_updates(state["d"], d_upd)
             (_, (_, g_metrics)), g_grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True)(gv, d_new, batch, frames,
@@ -256,10 +257,15 @@ def make_train_step(
             pool, fake_d_in = pooled_fake_input(state, batch, fake, k_pool)
             (_, d_metrics), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state["d"], batch, fake_d_in)
-            d_upd, d_opt = d_tx.update(d_grads, state["d_opt"], state["d"])
+            d_upd, d_opt = d_tx.update(d_grads, state["d_opt"], state["d"],
+                                       value=d_metrics["loss_D"])
             d_new = optax.apply_updates(state["d"], d_upd)
 
-        g_upd, g_opt = g_tx.update(g_grads, state["g_opt"], gv)
+        # value= feeds reduce_on_plateau when --lr_policy plateau is on;
+        # plain Adam ignores it (schedules.adam wraps with
+        # with_extra_args_support).
+        g_upd, g_opt = g_tx.update(g_grads, state["g_opt"], gv,
+                                   value=g_metrics["loss_G"])
         g_new, v_new = optax.apply_updates(gv, g_upd)
 
         metrics = {**d_metrics, **g_metrics}
