@@ -70,8 +70,11 @@ def maybe_initialize_distributed(
     """
     import os
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # Probe WITHOUT touching the backend: jax.process_count() would
+    # initialize XLA and make a later distributed.initialize() fail
+    # (caught by tests/test_multihost.py's real 2-process run).
+    if jax.distributed.is_initialized():
+        return True
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None and num_processes is None:
         return False
