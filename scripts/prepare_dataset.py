@@ -7,15 +7,20 @@ frames (this environment has no network, so the download step is out
 of scope; this script handles everything after the media exists).
 
 Modes:
+  extract   — video files → 16 kHz mono wav + frame-stack .npy per clip
+              (uncompressed AVI: zero-dep viai_tpu.data.avi demuxer,
+              audio + frames; other containers: cv2 frames, audio only
+              if the container is a PCM AVI — the no-ffmpeg boundary,
+              SURVEY.md §2.4)
   audio     — walk a tree of audio/video files, write 16 kHz mono wavs
   frames    — extract per-clip frame stacks to <stem>.npy (cv2/PIL)
   manifest  — build a MUSICES.json-style manifest from a prepared tree
   synthetic — write N synthetic wav clips (+ frame stacks) for demos
 
 Usage:
-  python scripts/prepare_dataset.py synthetic --out /tmp/viai_data -n 64
-  python scripts/prepare_dataset.py manifest --root /tmp/viai_data \
-      --out /tmp/viai_data/MUSICES.json
+  python scripts/prepare_dataset.py extract --root /raw_videos --out /data
+  python scripts/prepare_dataset.py manifest --root /data \
+      --out /data/MUSICES.json
 """
 
 from __future__ import annotations
@@ -81,6 +86,83 @@ def cmd_frames(args):
     print(f"extracted frames for {n} videos")
 
 
+VIDEO_EXTS = (".avi", ".mp4", ".mkv", ".webm", ".mov")
+
+
+def cmd_extract(args):
+    """Video tree → dataroot: per clip a 16 kHz wav + (T,H,W,3) .npy.
+
+    Completes SURVEY.md §2.1 "Dataset scripts" (ffmpeg audio extraction
+    & resample + frame extraction) for local files. Audio comes from
+    the container's PCM stream (uncompressed AVI — the zero-dependency
+    path); compressed audio codecs need ffmpeg, which this image lacks
+    (documented boundary, SURVEY.md §2.4) — those clips get frames
+    only unless --require_audio.
+    """
+    from viai_tpu.data.av import _load_frames_video
+    from viai_tpu.data.avi import read_avi
+    from viai_tpu.data.audio import load_wav  # noqa: F401 (resample path)
+    from viai_tpu.utils.visualizer import write_wav
+    from viai_tpu import native
+
+    os.makedirs(args.out, exist_ok=True)
+    n_full, n_frames_only, skipped = 0, 0, []
+    for dirpath, _, files in os.walk(args.root):
+        for f in sorted(files):
+            if not f.lower().endswith(VIDEO_EXTS):
+                continue
+            path = os.path.join(dirpath, f)
+            stem = os.path.join(args.out, os.path.splitext(f)[0])
+            frames = audio = None
+            sr = args.sample_rate
+            try:
+                frames, _fps, audio, sr = read_avi(path)
+            except (ValueError, struct_error):
+                pass
+            if frames is None:
+                try:
+                    frames = (_load_frames_video(
+                        path, args.n_frames, args.frame_size) * 255
+                    ).astype(np.uint8)
+                except Exception as e:  # codec unsupported
+                    skipped.append((path, str(e)))
+                    continue
+            else:
+                from viai_tpu.data.av import _resample_frames
+
+                frames = (_resample_frames(
+                    frames, args.n_frames, args.frame_size) * 255
+                ).astype(np.uint8)
+            if audio is None and args.require_audio:
+                skipped.append((path, "no PCM audio stream (needs ffmpeg)"))
+                continue
+            np.save(stem + ".npy", frames)
+            if audio is not None:
+                if sr != args.sample_rate:
+                    if native.AVAILABLE:
+                        audio = native.resample_linear(
+                            audio.astype(np.float32), sr, args.sample_rate)
+                    else:
+                        n_out = int(len(audio) * args.sample_rate / sr)
+                        audio = np.interp(
+                            np.linspace(0.0, 1.0, n_out),
+                            np.linspace(0.0, 1.0, len(audio)), audio,
+                        ).astype(np.float32)
+                write_wav(stem + ".wav", audio, args.sample_rate)
+                n_full += 1
+            else:
+                n_frames_only += 1
+    print(f"extracted {n_full} clips (audio+frames), "
+          f"{n_frames_only} frames-only, {len(skipped)} skipped")
+    for p, why in skipped:
+        print(f"  skipped {p}: {why}")
+    if skipped and args.require_audio:
+        sys.exit(1)
+
+
+from struct import error as struct_error  # noqa: E402
+
+
 def cmd_manifest(args):
     entries = []
     for dirpath, _, files in os.walk(args.root):
@@ -123,9 +205,19 @@ def main():
     p.add_argument("--root", required=True)
     p.add_argument("--out", default=None)
     p.add_argument("--train_frac", type=float, default=0.9)
+    p = sub.add_parser("extract")
+    p.add_argument("--root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--n_frames", type=int, default=16)
+    p.add_argument("--frame_size", type=int, default=64)
+    p.add_argument("--require_audio", action="store_true",
+                   help="fail on clips whose audio cannot be extracted "
+                        "without ffmpeg (compressed codecs)")
     args = ap.parse_args()
     {"synthetic": cmd_synthetic, "audio": cmd_audio,
-     "frames": cmd_frames, "manifest": cmd_manifest}[args.cmd](args)
+     "frames": cmd_frames, "manifest": cmd_manifest,
+     "extract": cmd_extract}[args.cmd](args)
 
 
 if __name__ == "__main__":

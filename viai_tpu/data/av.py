@@ -60,6 +60,17 @@ def _load_frames_dir(path, n_frames, size, window=None):
 
 
 def _load_frames_video(path, n_frames, size, window=None):
+    if path.lower().endswith(".avi"):
+        # Uncompressed AVIs decode via the zero-dependency demuxer —
+        # measured: this image's cv2/ffmpeg heap-crashes on raw DIB
+        # AVIs (see data/avi.py); compressed ones fall through to cv2.
+        try:
+            from .avi import read_avi
+
+            frames, _fps, _audio, _sr = read_avi(path)
+            return _resample_frames(frames, n_frames, size, window=window)
+        except ValueError:
+            pass
     import cv2
 
     cap = cv2.VideoCapture(path)
