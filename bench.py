@@ -35,6 +35,11 @@ def main():
                     help="generator compute dtype (GL stays fp32)")
     ap.add_argument("--gl_backend", type=str, default="pallas",
                     choices=["xla", "pallas"])
+    ap.add_argument("--no_phase_aware", action="store_true",
+                    help="ablation: zero-phase GL on the whole magnitude "
+                         "(the reference chain / round-1 unit of work); "
+                         "the default benchmarks the product default "
+                         "(phase-aware), a strictly heavier chain")
     args = ap.parse_args()
 
     import dataclasses
@@ -53,7 +58,8 @@ def main():
     cfg = dataclasses.replace(cfg, gl_backend=args.gl_backend)
     G = define_G(dtype=args.dtype)
     g_def, g_state = nnx.split(G)
-    infer = make_infer_fn(g_def, None, cfg, n_gl_iter=args.gl_iters)
+    infer = make_infer_fn(g_def, None, cfg, n_gl_iter=args.gl_iters,
+                          phase_aware=not args.no_phase_aware)
 
     rng = np.random.default_rng(0)
     wav = jax.numpy.asarray(
