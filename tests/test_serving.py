@@ -92,3 +92,36 @@ def test_multi_gap_mask():
     runs = np.split(holes, np.where(np.diff(holes) > 1)[0] + 1)
     assert len(runs) == 2
     del hop
+
+
+def test_streaming_auto_flush_on_max_queue():
+    """submit() returns Futures; queue auto-flushes at max_queue."""
+    svc = _service(buckets=(2, 4)).configure_streaming(max_queue=2)
+    masks = svc.time_mask_from_seconds(1, 0.08, 0.12)[0]
+    clips = tone_batch(3, 4032)
+    f0 = svc.submit(clips[0], masks)
+    assert not f0.done()                      # below threshold
+    f1 = svc.submit(clips[1], masks)          # hits max_queue → flush
+    assert f0.done() and f1.done()
+    assert f0.result().shape == (4032,)
+    f2 = svc.submit(clips[2], masks)
+    assert not f2.done()
+    svc.flush()
+    assert f2.done() and np.isfinite(f2.result()).all()
+
+
+def test_streaming_auto_flush_on_deadline():
+    """A timer flushes the queue flush_deadline_s after the first
+    submit, with no further calls from the client."""
+    import time
+
+    svc = _service(buckets=(2,)).configure_streaming(
+        flush_deadline_s=0.3)
+    masks = svc.time_mask_from_seconds(1, 0.08, 0.12)[0]
+    fut = svc.submit(tone_batch(1, 4032)[0], masks)
+    assert not fut.done()
+    out = fut.result(timeout=30)              # resolved by the timer
+    assert out.shape == (4032,)
+    # Timer is re-armed per batch: a second submit also auto-resolves.
+    fut2 = svc.submit(tone_batch(1, 4032, seed=5)[0], masks)
+    assert fut2.result(timeout=30).shape == (4032,)
