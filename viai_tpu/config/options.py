@@ -50,9 +50,11 @@ class BaseOptions:
         p.add_argument("--nThreads", type=int, default=4)
         p.add_argument("--checkpoints_dir", type=str, default="./checkpoints")
         p.add_argument("--norm", type=str, default="instance",
-                       choices=["instance", "none"],
-                       help="batch norm intentionally unsupported (see "
-                            "nn/generator.py)")
+                       choices=["instance", "batch", "none"],
+                       help="batch = stats-free BatchNorm (global batch "
+                            "stats under DP, live stats at test time — "
+                            "matching the pix2pix template's effective "
+                            "eval=False behavior; see nn/generator.py)")
         p.add_argument("--serial_batches", action="store_true",
                        help="no shuffling (sequential sampling)")
         p.add_argument("--no_html", action="store_true")
