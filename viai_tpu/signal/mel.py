@@ -30,8 +30,13 @@ def hz_to_mel(f, htk: bool = False):
     min_log_hz = 1000.0
     min_log_mel = (min_log_hz - f_min) / f_sp
     logstep = np.log(6.4) / 27.0
+    # np.where evaluates both branches; clamp keeps log() off f=0
+    # (silences the RuntimeWarning without changing any selected value).
+    safe_f = np.maximum(f, 1e-10)
     return np.where(
-        f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels
+        f >= min_log_hz,
+        min_log_mel + np.log(safe_f / min_log_hz) / logstep,
+        mels,
     )
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import optax
 from flax import nnx
 
-from ..nn.losses import gan_loss, masked_l1_loss
+from ..nn.losses import gan_loss, generator_gan_loss, masked_l1_loss
 from ..signal.griffin_lim import griffin_lim
 from ..signal.mask import MaskConfig, sample_batch_masks
 from ..signal.mel import compress, decompress
@@ -214,10 +214,8 @@ def make_train_step(
         g_state, v_state = gv_state
         fake = g_forward(g_state, v_state, batch, frames, frames_valid,
                          dropout_key)
-        if cfg.gan_mode == "hinge":
-            l_gan = -jnp.mean(d_logits(d_state, batch, fake))
-        else:
-            l_gan = gan_loss(d_logits(d_state, batch, fake), True, cfg.gan_mode)
+        l_gan = generator_gan_loss(d_logits(d_state, batch, fake),
+                                   cfg.gan_mode)
         l_l1 = masked_l1_loss(
             fake, batch["real_img"], batch["mask_img"],
             hole_weight=cfg.hole_weight,
