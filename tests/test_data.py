@@ -217,3 +217,40 @@ def test_native_loader_stress(wav_dir):
             assert np.abs(b).max() <= 1.0
     finally:
         L.close()
+
+
+def test_synthetic_batch_iterator_matches_dataset():
+    """Vectorized batch generator values == per-item dataset values."""
+    from viai_tpu.data.synthetic import (
+        SyntheticAVDataset, SyntheticBatchIterator, SyntheticConfig,
+    )
+
+    cfg = SyntheticConfig(clip_seconds=0.5, with_video=True,
+                          video_frames=4, video_size=16,
+                          video_dropout=0.3, size=64)
+    it = SyntheticBatchIterator(cfg, batch=6, seed=0)
+    batch = next(it)
+    it.close()
+    ds = SyntheticAVDataset(cfg)
+    for b in range(6):
+        ref = ds[b]
+        np.testing.assert_allclose(batch["wav"][b], ref["wav"],
+                                   atol=1e-6, rtol=1e-5)
+        np.testing.assert_allclose(batch["frames"][b], ref["frames"],
+                                   atol=1e-5, rtol=1e-4)
+        assert batch["frames_valid"][b] == ref["frames_valid"]
+    assert it.epoch_batches == 64 // 6
+
+
+def test_synthetic_batch_iterator_throughput_and_advance():
+    from viai_tpu.data.synthetic import (
+        SyntheticBatchIterator, SyntheticConfig,
+    )
+
+    it = SyntheticBatchIterator(SyntheticConfig(clip_seconds=2.0),
+                                batch=32)
+    b1 = next(it)
+    b2 = next(it)
+    it.close()
+    assert b1["wav"].shape == (32, 32000)
+    assert not np.allclose(b1["wav"], b2["wav"])   # stream advances

@@ -72,3 +72,38 @@ def test_pallas_gl_odd_batch_blocks():
                               clips_per_block=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out1),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_split_ola_matches_chain_exactly():
+    """v6 split-OLA (disjoint-write accumulators) must be numerically
+    indistinguishable from the v4 RMW chain: same matmuls, only the
+    overlap-add summation is restructured (4-way tree vs sequential)."""
+    # n_iter=1 keeps the comparison pre-chaos (GL is an iterated
+    # nonlinear map; see test_pallas_gl_odd_batch_blocks).
+    mag, n = _mag(batch=2, seed=4)
+    a = griffin_lim_pallas(mag, CFG, n_iter=1, length=n, interpret=True,
+                           ola_mode="chain")
+    b = griffin_lim_pallas(mag, CFG, n_iter=1, length=n, interpret=True,
+                           ola_mode="split")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_split_ola_with_observed():
+    from viai_tpu.signal import stft
+
+    mag, n = _mag(batch=2, seed=6)
+    rng = np.random.default_rng(6)
+    t = np.arange(n) / 16000
+    x = (0.4 * np.sin(2 * np.pi * rng.uniform(200, 800, (2, 1)) * t)
+         ).astype(np.float32)
+    re, im = stft(x, CFG)
+    fmask = np.ones((2, mag.shape[1], 1), np.float32)
+    fmask[:, 20:30] = 0.0
+    obs = (np.asarray(fmask), re, im)
+    a = griffin_lim_pallas(mag, CFG, n_iter=1, length=n, interpret=True,
+                           ola_mode="chain", observed=obs)
+    b = griffin_lim_pallas(mag, CFG, n_iter=1, length=n, interpret=True,
+                           ola_mode="split", observed=obs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-6, rtol=1e-6)

@@ -15,7 +15,11 @@ import typing as tp
 
 from .audio import AudioFolderDataset, find_wavs
 from .av import AVFolderDataset, MusicesManifest
-from .synthetic import SyntheticAVDataset, SyntheticConfig
+from .synthetic import (
+    SyntheticAVDataset,
+    SyntheticBatchIterator,
+    SyntheticConfig,
+)
 
 
 class EpochVariedSource:
@@ -122,6 +126,11 @@ def create_dataloader(
             video_frames=n_frames,
             video_size=frame_size,
         )
+        if prefer_native and shuffle and num_epochs is None:
+            # Training fast path: vectorized threaded generator — the
+            # per-item grain path is 10x slower and data-binds the TPU
+            # train loop (see SyntheticBatchIterator).
+            return SyntheticBatchIterator(cfg, batch_size, seed=seed)
         return _grain_loader(
             SyntheticAVDataset(cfg), batch_size, n_threads, seed,
             shuffle=shuffle, num_epochs=num_epochs,

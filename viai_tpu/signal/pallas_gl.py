@@ -69,6 +69,7 @@ def griffin_lim_pallas(
     clips_per_block: int = 2,
     matmul_dtype=jnp.float32,
     observed: tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    ola_mode: str = "chain",
 ) -> jax.Array:
     """(B, F, n_bins) magnitude → (B, length) waveform. Zero-phase init.
 
@@ -90,6 +91,14 @@ def griffin_lim_pallas(
     recovered. Pre-folded outside the kernel into a hole-masked
     magnitude plus an additive (obs_re, obs_im) pair — inside the loop
     it costs one extra VPU add per projection, no new matmuls.
+
+    ola_mode: "chain" = the v4 per-frame read-modify-write loop;
+    "split" = v6: K=ceil(n_fft/hop) accumulators where accumulator k
+    takes frames k, k+K, k+2K, ... — within an accumulator the write
+    regions are DISJOINT (stride K·hop ≥ n_fft), so overlap-add
+    becomes pure stores with no serial RMW chain, plus one K-way VPU
+    sum at the end. Attacks the structural floor identified in round 1
+    (BENCHMARKS.md: the OLA RMW chain, 45 ms / 128 clips).
     """
     assert cfg.center, "pallas GL implements the center=True layout"
     B0, F, n_bins = mag.shape
@@ -144,7 +153,13 @@ def griffin_lim_pallas(
 
     mm_dt = matmul_dtype
 
+    use_split = ola_mode == "split"
+    K_ola = -(-N // hop)                   # disjoint-write accumulators
+
     def kernel(*refs):
+        acc_s = None
+        if use_split:
+            refs, acc_s = refs[:-1], refs[-1]
         if use_obs:
             (mag_ref, obsre_ref, obsim_ref, cosw_ref, sinw_ref,
              icosw_ref, isinw_ref, env_ref, jl_ref, jr_ref, out_ref,
@@ -174,15 +189,37 @@ def griffin_lim_pallas(
                 + jnp.dot(xim, isinw_ref[:],
                           preferred_element_type=jnp.float32)
             ).reshape(CB, F, N)
-            wav_s[:] = jnp.zeros_like(wav_s)
+            if use_split:
+                # v6: accumulator k gets frames k, k+K, ... — strides
+                # K·hop ≥ n_fft keep each accumulator's writes disjoint,
+                # so OLA is pure stores (no serial read-modify-write).
+                acc_s[:] = jnp.zeros_like(acc_s)
+                nj = -(-F // K_ola)
 
-            def ola_body(f, _):
-                seg = wav_s[:, pl.ds(f * hop, N)]
-                wav_s[:, pl.ds(f * hop, N)] = seg + fr_s[:, f, :]
-                return 0
+                def ola_body(j, _):
+                    for k in range(K_ola):            # unrolled
+                        f = j * K_ola + k
 
-            jax.lax.fori_loop(0, F, ola_body, 0)
-            wav_s[:] = wav_s[:] * env_ref[:]          # env_ref is 1/env
+                        @pl.when(f < F)
+                        def _():
+                            acc_s[k, :, pl.ds(f * hop, N)] = fr_s[:, f, :]
+                    return 0
+
+                jax.lax.fori_loop(0, nj, ola_body, 0)
+                acc = acc_s[0]
+                for k in range(1, K_ola):
+                    acc = acc + acc_s[k]
+                wav_s[:] = acc * env_ref[:]           # env_ref is 1/env
+            else:
+                wav_s[:] = jnp.zeros_like(wav_s)
+
+                def ola_body(f, _):
+                    seg = wav_s[:, pl.ds(f * hop, N)]
+                    wav_s[:, pl.ds(f * hop, N)] = seg + fr_s[:, f, :]
+                    return 0
+
+                jax.lax.fori_loop(0, F, ola_body, 0)
+                wav_s[:] = wav_s[:] * env_ref[:]      # env_ref is 1/env
 
         def project():
             """wav_s (padded layout) → new (re, im) into pre_s/pim_s."""
@@ -281,7 +318,10 @@ def griffin_lim_pallas(
             pltpu.VMEM((CB, F, n_bins), jnp.float32),  # prev rebuilt im
             pltpu.VMEM((CB, F, N), jnp.float32),       # frame buffer
             pltpu.VMEM((CB, total), jnp.float32),      # waveform buffer
-        ],
+        ] + (
+            [pltpu.VMEM((K_ola, CB, total), jnp.float32)]  # split OLA acc
+            if use_split else []
+        ),
         interpret=interpret,
     )(*operands)
     return out.reshape(B, T)[:B0]
