@@ -279,3 +279,53 @@ def test_native_loader_single_worker_deterministic(wav_dir):
         np.testing.assert_array_equal(x, y)
     c = stream(8)
     assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+
+def test_synthetic_notes_style():
+    """Polyphonic 'notes' corpus: deterministic, normalized, genuinely
+    non-stationary (onsets → energy varies across the clip), and the
+    batch iterator matches the dataset item-for-item."""
+    from viai_tpu.data.synthetic import (
+        SyntheticAVDataset, SyntheticBatchIterator, SyntheticConfig,
+    )
+
+    cfg = SyntheticConfig(style="notes", clip_seconds=1.0,
+                          with_video=True, video_frames=4, video_size=16,
+                          size=64)
+    ds = SyntheticAVDataset(cfg)
+    a, b = ds[3], ds[3]
+    np.testing.assert_array_equal(a["wav"], b["wav"])
+    assert a["wav"].shape == (16000,)
+    assert np.abs(a["wav"]).max() <= 0.5 + 1e-6
+    assert a["frames"].shape == (4, 16, 16, 3)
+    # Non-stationarity: quarter-clip energies differ by >2x for most
+    # clips (onset/decay structure; a steady sine would be ~equal).
+    ratios = []
+    for i in range(8):
+        w = ds[i]["wav"]
+        e = np.array([np.mean(w[k*4000:(k+1)*4000] ** 2) for k in range(4)])
+        ratios.append(e.max() / max(e.min(), 1e-12))
+    assert np.median(ratios) > 2.0, ratios
+
+    it = SyntheticBatchIterator(cfg, batch=4, seed=0)
+    batch = next(it)
+    it.close()
+    for k in range(4):
+        np.testing.assert_array_equal(batch["wav"][k], ds[k]["wav"])
+        np.testing.assert_array_equal(batch["frames"][k], ds[k]["frames"])
+
+
+def test_synthetic_notes_loader_mode():
+    from viai_tpu.data import create_dataloader
+
+    it = create_dataloader("synthetic_notes", batch_size=2,
+                           clip_samples=8000, n_threads=0)
+    batch = next(iter(it))
+    assert batch["wav"].shape == (2, 8000)
+    if hasattr(it, "close"):
+        it.close()
+    it2 = create_dataloader("synthetic_av_notes", batch_size=2,
+                            clip_samples=8000, n_threads=0, n_frames=4,
+                            frame_size=16, num_epochs=1)
+    b2 = next(iter(it2))
+    assert b2["frames"].shape == (2, 4, 16, 16, 3)

@@ -46,7 +46,11 @@ class BaseOptions:
         p.add_argument("--n_layers_D", type=int, default=3)
         p.add_argument("--dataset_mode", type=str, default="synthetic",
                        choices=["audio", "av", "musices", "synthetic",
-                                "synthetic_av"])
+                                "synthetic_av", "synthetic_notes",
+                                "synthetic_av_notes"],
+                       help="*_notes = polyphonic note-event corpus "
+                            "(onsets/decays/chords — harder than the "
+                            "sine-mixture default)")
         p.add_argument("--nThreads", type=int, default=4)
         p.add_argument("--checkpoints_dir", type=str, default="./checkpoints")
         p.add_argument("--norm", type=str, default="instance",

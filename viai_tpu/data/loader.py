@@ -118,13 +118,14 @@ def create_dataloader(
     dataset_mode: 'audio' | 'av' | 'musices' | 'synthetic' | 'synthetic_av'
     (the reference's `--dataset_mode` option, SURVEY.md §2.1).
     """
-    if dataset_mode == "synthetic" or dataset_mode == "synthetic_av":
+    if dataset_mode.startswith("synthetic"):
         cfg = SyntheticConfig(
             sample_rate=sample_rate,
             clip_seconds=clip_samples / sample_rate,
-            with_video=dataset_mode == "synthetic_av",
+            with_video="_av" in dataset_mode,
             video_frames=n_frames,
             video_size=frame_size,
+            style="notes" if dataset_mode.endswith("_notes") else "harmonic",
         )
         if prefer_native and shuffle and num_epochs is None:
             # Training fast path: vectorized threaded generator — the

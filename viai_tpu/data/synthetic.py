@@ -29,10 +29,77 @@ class SyntheticConfig:
     # is missing (frames zeroed, frames_valid=0).
     video_dropout: float = 0.0
     size: int = 10000   # virtual dataset length
+    # "harmonic": one sustained AM/FM harmonic stack (round-1 corpus).
+    # "notes": polyphonic plucked-note events — random onsets, chord
+    #   pitches, exponentially decaying inharmonic partials, noise
+    #   attack transients + a noise floor. Much harder inpainting:
+    #   the hole can cover onsets/offsets, not just steady state
+    #   (VERDICT.md round-1 missing #2: stress beyond sine mixtures).
+    style: str = "harmonic"
+    max_notes: int = 8
 
     @property
     def clip_samples(self) -> int:
         return int(self.sample_rate * self.clip_seconds)
+
+
+# Just-intonation-ish interval set for chord pitches (style="notes").
+_INTERVALS = np.array([1.0, 9 / 8, 5 / 4, 4 / 3, 3 / 2, 5 / 3, 15 / 8, 2.0])
+
+
+def _draw_notes(rng, cfg: SyntheticConfig):
+    """Per-clip note-event parameters (single rng stream, fixed order)."""
+    K = cfg.max_notes
+    n_notes = int(rng.integers(3, K + 1))
+    root = rng.uniform(110.0, 440.0)
+    onset = rng.uniform(0.0, 0.85 * cfg.clip_seconds, K)
+    f0 = root * _INTERVALS[rng.integers(0, len(_INTERVALS), K)] * (
+        2.0 ** rng.integers(-1, 2, K))
+    decay = rng.uniform(1.5, 8.0, K)           # 1/s amplitude decay
+    amp = rng.uniform(0.2, 1.0, K)
+    inharm = rng.uniform(0.0, 1e-3, K)         # stiffness coefficient
+    noise_amp = rng.uniform(0.0, 0.02)
+    amp[n_notes:] = 0.0
+    return onset, f0, decay, amp, inharm, noise_amp
+
+
+def _render_notes_clip(rng, cfg: SyntheticConfig, t: np.ndarray):
+    """One polyphonic clip → (wav float32 (n,), inst_f (n,) dominant Hz).
+
+    Per-note complex-power trick: partial h of a note is Im(z^h) with
+    z = e^{-λt} e^{i2πf₀t}, so each note costs one exp + one sincos
+    regardless of harmonic count; a mild quadratic detune adds
+    piano-like inharmonicity. Attack = 5 ms noise burst per onset.
+    `inst_f` tracks the loudest currently-sounding note (drives the AV
+    blob so vision stays informative in 'notes' style).
+    """
+    onset, f0, decay, amp, inharm, noise_amp = _draw_notes(rng, cfg)
+    noise = rng.standard_normal(t.shape[0])         # drawn ONCE, fixed order
+    tt = t[None, :] - onset[:, None]                # (K, n)
+    gate = tt >= 0.0
+    ttc = np.where(gate, tt, 0.0)
+    ang = 2 * np.pi * f0[:, None] * ttc
+    z = np.exp(-decay[:, None] * ttc) * (np.cos(ang) + 1j * np.sin(ang))
+    per_note = np.zeros_like(ttc)
+    zh = np.ones_like(z)
+    for h in range(1, cfg.n_harmonics + 1):
+        zh = zh * z
+        detune = ang * inharm[:, None] * (h * h - h)
+        per_note += (1.0 / h) * (
+            zh.imag * np.cos(detune) + zh.real * np.sin(detune)
+        )
+    per_note *= amp[:, None] * gate
+    per_note += 0.3 * amp[:, None] * (gate & (ttc < 0.005)) * noise[None, :]
+    wav = per_note.sum(axis=0) + noise_amp * noise
+    wav = wav.astype(np.float32)
+    wav *= 0.5 / max(np.abs(wav).max(), 1e-6)
+    # Dominant pitch = f0 of the loudest live note (envelope-weighted).
+    live_env = amp[:, None] * np.where(gate, np.exp(-decay[:, None] * ttc),
+                                       0.0)
+    dom = np.argmax(live_env, axis=0)
+    inst_f = f0[dom].astype(np.float64)
+    inst_f[live_env.max(axis=0) < 1e-4] = f0[0]
+    return wav, inst_f
 
 
 class SyntheticBatchIterator:
@@ -62,6 +129,17 @@ class SyntheticBatchIterator:
     # -- vectorized generation (values == SyntheticAVDataset) -------------
     def _gen(self, idx0: int) -> dict:
         cfg, B = self.cfg, self.batch
+        if cfg.style == "notes":
+            # Notes style is already (K, n)-vectorized per clip; the
+            # per-item path (~3 ms/clip) runs in this worker thread.
+            ds = SyntheticAVDataset(cfg)
+            items = [ds[idx0 + b] for b in range(B)]
+            out = {"wav": np.stack([it["wav"] for it in items])}
+            if cfg.with_video:
+                out["frames"] = np.stack([it["frames"] for it in items])
+                out["frames_valid"] = np.stack(
+                    [it["frames_valid"] for it in items])
+            return out
         n, H = cfg.clip_samples, cfg.n_harmonics
         f0 = np.empty(B)
         vib = np.empty(B)
@@ -139,6 +217,34 @@ class SyntheticBatchIterator:
             pass
 
 
+def _amp_envelope(wav: np.ndarray, win: int = 512) -> np.ndarray:
+    """Box-filtered |wav| scaled to [0, 1] (blob x-drive, rng-free)."""
+    c = np.cumsum(np.abs(wav, dtype=np.float64))
+    env = (c - np.concatenate([np.zeros(win), c[:-win]])) / win
+    return (env / max(env.max(), 1e-9)).astype(np.float64)
+
+
+def _render_video(rng, cfg: SyntheticConfig, inst_f, env, n) -> dict:
+    """Pitch-tracking blob frames (shared by both synth styles)."""
+    has_video = rng.uniform() >= cfg.video_dropout
+    T, S = cfg.video_frames, cfg.video_size
+    frames = np.zeros((T, S, S, 3), np.float32)
+    # Blob y-position tracks log-pitch; x sweeps with the envelope.
+    fidx = (np.linspace(0, n - 1, T)).astype(int)
+    y = (np.log2(inst_f[fidx] / 110.0) / 3.0 * (S - 8)).clip(0, S - 8)
+    x = (env[fidx] * (S - 8)).clip(0, S - 8)
+    yy, xx = np.mgrid[0:S, 0:S]
+    for k in range(T):
+        blob = np.exp(-(((yy - y[k]) ** 2 + (xx - x[k]) ** 2) / 18.0))
+        frames[k, :, :, 0] = blob
+        frames[k, :, :, 1] = blob * env[fidx[k]]
+        frames[k, :, :, 2] = 0.2
+    if not has_video:
+        frames[:] = 0.0
+    return {"frames": frames,
+            "frames_valid": np.float32(1.0 if has_video else 0.0)}
+
+
 class SyntheticAVDataset:
     """Deterministic random-access source: idx → {'wav', 'frames'?}."""
 
@@ -153,6 +259,13 @@ class SyntheticAVDataset:
         rng = np.random.default_rng((0xA11D10, int(idx)))
         n = cfg.clip_samples
         t = np.arange(n) / cfg.sample_rate
+        if cfg.style == "notes":
+            wav, inst_f = _render_notes_clip(rng, cfg, t)
+            env = _amp_envelope(wav)
+            item = {"wav": wav}
+            if cfg.with_video:
+                item.update(_render_video(rng, cfg, inst_f, env, n))
+            return item
         f0 = rng.uniform(110.0, 880.0)
         vib = rng.uniform(0.0, 6.0)          # vibrato Hz
         vib_depth = rng.uniform(0.0, 0.02)
@@ -167,23 +280,5 @@ class SyntheticAVDataset:
         wav *= 0.5 / max(np.abs(wav).max(), 1e-6)
         item = {"wav": wav}
         if cfg.with_video:
-            has_video = rng.uniform() >= cfg.video_dropout
-            T, S = cfg.video_frames, cfg.video_size
-            frames = np.zeros((T, S, S, 3), np.float32)
-            # Blob y-position tracks log-pitch; x sweeps with the envelope.
-            fidx = (np.linspace(0, n - 1, T)).astype(int)
-            y = (np.log2(inst_f[fidx] / 110.0) / 3.0 * (S - 8)).clip(0, S - 8)
-            x = (env[fidx] * (S - 8)).clip(0, S - 8)
-            yy, xx = np.mgrid[0:S, 0:S]
-            for k in range(T):
-                blob = np.exp(
-                    -(((yy - y[k]) ** 2 + (xx - x[k]) ** 2) / 18.0)
-                )
-                frames[k, :, :, 0] = blob
-                frames[k, :, :, 1] = blob * env[fidx[k]]
-                frames[k, :, :, 2] = 0.2
-            if not has_video:
-                frames[:] = 0.0
-            item["frames"] = frames
-            item["frames_valid"] = np.float32(1.0 if has_video else 0.0)
+            item.update(_render_video(rng, cfg, inst_f, env, n))
         return item
