@@ -57,3 +57,20 @@ def test_display_current_results(tmp_path):
     assert os.path.exists(tmp_path / "web" / "images" /
                           "epoch003_real.png")
     assert os.path.exists(tmp_path / "web" / "index.html")
+
+
+def test_tensorboard_tier(tmp_path):
+    """--tensorboard writes clu event files; absence degrades cleanly."""
+    from viai_tpu.utils.visualizer import Visualizer
+
+    v = Visualizer(str(tmp_path), "tb_test", tensorboard=True)
+    v.print_current_losses(1, 0, {"loss_G": 1.0, "loss_D": 0.5}, 0.1)
+    v.print_current_losses(1, 1, {"loss_G": 0.9, "loss_D": 0.6}, 0.1)
+    import os
+
+    tb_dir = tmp_path / "tb"
+    if v._tb is not None:   # clu+tf present in this image
+        files = os.listdir(tb_dir)
+        assert any("tfevents" in f for f in files), files
+    # txt/JSONL tiers unaffected either way.
+    assert (tmp_path / "loss_log.jsonl").exists()

@@ -59,7 +59,8 @@ def main(args=None):
     model = create_model(opt)
     if opt.continue_train:
         model.load_networks(opt.which_epoch)
-    visualizer = Visualizer(expr_dir, opt.name)
+    visualizer = Visualizer(expr_dir, opt.name,
+                            tensorboard=getattr(opt, "tensorboard", False))
 
     total_steps = 0
     data_iter = iter(loader)

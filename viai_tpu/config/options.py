@@ -173,6 +173,10 @@ class TrainOptions(BaseOptions):
                        choices=["simultaneous", "sequential"])
         p.add_argument("--steps_per_epoch", type=int, default=0,
                        help="0 = derive from dataset length / batchSize")
+        p.add_argument("--tensorboard", action="store_true",
+                       help="also write TensorBoard event files "
+                            "(expr_dir/tb, via clu) alongside "
+                            "loss_log.txt/JSONL")
         self.isTrain = True
 
 

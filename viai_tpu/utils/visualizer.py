@@ -20,7 +20,8 @@ import numpy as np
 class Visualizer:
     """print_current_losses → stdout + loss_log.txt + loss_log.jsonl."""
 
-    def __init__(self, expr_dir: str, name: str = "experiment"):
+    def __init__(self, expr_dir: str, name: str = "experiment",
+                 tensorboard: bool = False):
         self.expr_dir = expr_dir
         self.name = name
         os.makedirs(expr_dir, exist_ok=True)
@@ -31,6 +32,19 @@ class Visualizer:
                 f"================ Training Loss ({time.strftime('%c')}) "
                 "================\n"
             )
+        # Optional TensorBoard tier (SURVEY.md §5.5 "TensorBoard
+        # optional via clu"): event files under expr_dir/tb.
+        self._tb = None
+        if tensorboard:
+            try:
+                from clu import metric_writers
+
+                self._tb = metric_writers.SummaryWriter(
+                    os.path.join(expr_dir, "tb"))
+            except Exception as e:  # clu/tf missing → degrade to logs
+                print(f"tensorboard writer unavailable ({e}); "
+                      "falling back to txt/JSONL logs")
+        self._global_step = 0
 
     def display_current_results(self, visuals: dict, epoch: int):
         """Reference Visualizer API: write current spectrogram images to
@@ -79,6 +93,11 @@ class Visualizer:
                 {"epoch": epoch, "iters": iters, "t": time.time(), **{
                     k: float(v) for k, v in losses.items()}}
             ) + "\n")
+        if self._tb is not None:
+            self._global_step += 1
+            self._tb.write_scalars(
+                self._global_step, {k: float(v) for k, v in losses.items()}
+            )
 
 
 def spec_to_png(spec01: np.ndarray, path: str):
