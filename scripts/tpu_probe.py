@@ -69,12 +69,14 @@ def main():
         import jax.numpy as _jnp
 
         mm_dt = _jnp.bfloat16 if "bf16mm" in parts else _jnp.float32
+        ola = ("fused" if "fused" in parts
+               else "split" if "split" in parts else "chain")
 
         def gl_chain(w):
             mag = stft_magnitude(w, cfg)
             if use_pallas:
                 return griffin_lim_pallas(mag, cfg, n_iter=32, length=32000,
-                                          matmul_dtype=mm_dt)
+                                          matmul_dtype=mm_dt, ola_mode=ola)
             return griffin_lim(mag, cfg, n_iter=32, length=32000)
 
         f = jax.jit(gl_chain)

@@ -107,3 +107,66 @@ def test_split_ola_with_observed():
                            ola_mode="split", observed=obs)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("n_iter", [1, 4])
+def test_fused_matches_jnp(n_iter):
+    """v7 fused consistency vs the jnp reference (small config: hop=32
+    exercises the UNALIGNED slab path and n_edge=2 per side)."""
+    mag, n = _mag(batch=2, seed=11)
+    ref = griffin_lim(mag, CFG, n_iter=n_iter, length=n)
+    out = griffin_lim_pallas(mag, CFG, n_iter=n_iter, length=n,
+                             interpret=True, ola_mode="fused")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3
+    )
+
+
+def test_fused_matches_chain_tight():
+    mag, n = _mag(batch=2, seed=4)
+    a = griffin_lim_pallas(mag, CFG, n_iter=1, length=n, interpret=True,
+                           ola_mode="chain")
+    b = griffin_lim_pallas(mag, CFG, n_iter=1, length=n, interpret=True,
+                           ola_mode="fused")
+    # Same matmuls; only the overlap-add/reframe summation order
+    # differs (7-term slab tree vs sequential RMW) → fp32 rounding.
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_fused_with_observed():
+    from viai_tpu.signal import stft
+
+    mag, n = _mag(batch=2, seed=6)
+    rng = np.random.default_rng(6)
+    t = np.arange(n) / 16000
+    x = (0.4 * np.sin(2 * np.pi * rng.uniform(200, 800, (2, 1)) * t)
+         ).astype(np.float32)
+    re, im = stft(x, CFG)
+    fmask = np.ones((2, mag.shape[1], 1), np.float32)
+    fmask[:, 20:30] = 0.0
+    obs = (np.asarray(fmask), re, im)
+    a = griffin_lim_pallas(mag, CFG, n_iter=2, length=n, interpret=True,
+                           ola_mode="chain", observed=obs)
+    b = griffin_lim_pallas(mag, CFG, n_iter=2, length=n, interpret=True,
+                           ola_mode="fused", observed=obs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_product_config():
+    """The real serving config (n_fft=510, hop=128): every fused slab
+    bound is a multiple of 128 (the aligned fast path the TPU runs)."""
+    cfg = STFTConfig(n_fft=510, hop_length=128)
+    n = 128 * 10  # F = 11 > 2*n_edge+1 = 5
+    rng = np.random.default_rng(7)
+    t = np.arange(n) / 16000
+    x = (0.4 * np.sin(2 * np.pi * rng.uniform(200, 800, (1, 1)) * t)
+         ).astype(np.float32)
+    mag = stft_magnitude(x, cfg)
+    ref = griffin_lim(mag, cfg, n_iter=2, length=n)
+    out = griffin_lim_pallas(mag, cfg, n_iter=2, length=n,
+                             interpret=True, ola_mode="fused")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3
+    )

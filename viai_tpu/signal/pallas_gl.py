@@ -22,7 +22,20 @@ Kernel evolution, kept honest by TPU measurements
       relayouts cost more than the loop they replaced; reverted
   v3: OLA/framing as shift-matrix MXU matmuls → Mosaic compile did not
       terminate in 40 min; abandoned (see git history for the kernel)
-  v4 (this): v1 structure + window folded into the DFT bases.
+  v4: v1 structure + window folded into the DFT bases
+  v6: split-OLA (K disjoint accumulators)    → parity with v4; refuted
+      the RMW-chain hypothesis (BENCHMARKS.md round 2)
+  v7 (ola_mode="fused"): the OLA→trim→reflect-pad→reframe pipeline is
+      one LINEAR operator on the frame array, so both per-frame loops
+      vanish: fr'[t, j] = inv_env[t·hop+j] · Σ_d fr[t+d, j − d·hop].
+      The frame-axis shifts ride the MXU (per-d 0/1 shift-matrix
+      matmuls — sublane-offset slab adds relayout, the v2 lesson), the
+      lane-axis shifts are whole-register moves when hop % 128 == 0,
+      and the reflect-pad edge correction is two env-scaled selector
+      matmuls + one rank-2·n_edge placement matmul (no single-row VMEM
+      writes — those alone measured 27 ms/call). No waveform buffer in
+      the loop at all; the waveform is synthesized once at the end.
+      Measured 40.5 ms vs v4's 55.2 ms / 128 clips GL×32 (+36%).
 
 Semantics match griffin_lim.py exactly (librosa fast-GL): momentum
 m/(1+m), window-sum-square normalization, zero-phase init.
@@ -69,7 +82,7 @@ def griffin_lim_pallas(
     clips_per_block: int = 2,
     matmul_dtype=jnp.float32,
     observed: tuple[jax.Array, jax.Array, jax.Array] | None = None,
-    ola_mode: str = "chain",
+    ola_mode: str = "auto",
 ) -> jax.Array:
     """(B, F, n_bins) magnitude → (B, length) waveform. Zero-phase init.
 
@@ -99,9 +112,20 @@ def griffin_lim_pallas(
     becomes pure stores with no serial RMW chain, plus one K-way VPU
     sum at the end. Attacks the structural floor identified in round 1
     (BENCHMARKS.md: the OLA RMW chain, 45 ms / 128 clips).
+    "fused" = v7: eliminate the per-frame loops entirely by fusing
+    OLA∘trim∘reflect-pad∘reframe into a frame-to-frame linear operator
+    (see module docstring). Requires hop ≤ n_fft//2 (≥50% overlap) and
+    F > 2·⌈pad/hop⌉ + 1.
+    "auto" (default) = fused when those constraints hold, else chain.
     """
     assert cfg.center, "pallas GL implements the center=True layout"
     B0, F, n_bins = mag.shape
+    if ola_mode == "auto":
+        ola_mode = ("fused"
+                    if (cfg.hop_length <= cfg.n_fft // 2
+                        and F > 2 * (-(-(cfg.n_fft // 2)
+                                       // cfg.hop_length)) + 1)
+                    else "chain")
     mag = mag.astype(jnp.float32)
     if observed is not None:
         fmask, re_in, im_in = observed
@@ -111,6 +135,11 @@ def griffin_lim_pallas(
         obs_re = fmask * re_in.astype(jnp.float32)
         obs_im = fmask * im_in.astype(jnp.float32)
         mag = (1.0 - fmask) * mag
+    if ola_mode == "fused":
+        # v7 keeps ~8 MB of host-folded operator constants resident;
+        # one clip per program stays inside the ~16 MB VMEM budget
+        # (measured: CB=2 is 9% SLOWER than CB=1 here, 45.0 vs 41.1 ms).
+        clips_per_block = 1
     CB = max(min(clips_per_block, B0), 1)
     if B0 % CB:
         padb = CB - B0 % CB
@@ -147,35 +176,130 @@ def griffin_lim_pallas(
         env[f * hop : f * hop + N] += w2
     inv_env = (1.0 / np.maximum(env, 1e-10)).astype(np.float32)
     Jpad = _round_up(pad, 128)
-    assert pad + 1 + Jpad <= total, "clip too short for reflect windows"
+    if ola_mode != "fused":
+        assert pad + 1 + Jpad <= total, "clip too short for reflect windows"
     J_left = _reversal_matrix(pad, Jpad, end_aligned=False)
     J_right = _reversal_matrix(pad, Jpad, end_aligned=True)
 
     mm_dt = matmul_dtype
 
     use_split = ola_mode == "split"
-    K_ola = -(-N // hop)                   # disjoint-write accumulators
+    use_fused = ola_mode == "fused"
+    K_ola = -(-N // hop)                   # overlapping-frame half-width
+
+    # v7 fused-mode host constants. Frames are padded to Np lanes with a
+    # structurally-zero tail [N, Np): the inverse bases have zero
+    # columns there, the framed env has zeros there, and the edge
+    # selector matrices have zero columns there, so the invariant holds
+    # through every iteration without explicit masking.
+    Np = _round_up(N, 128)
+    if use_fused:
+        assert hop <= pad, "fused GL requires >=50% overlap (hop <= pad)"
+        n_edge = -(-pad // hop)            # reflect-touched frames/side
+        assert F > 2 * n_edge + 1, "fused GL needs F > 2*ceil(pad/hop)+1"
+        icosw_p = np.zeros((n_bins, Np), np.float32)
+        icosw_p[:, :N] = icosw
+        isinw_p = np.zeros((n_bins, Np), np.float32)
+        isinw_p[:, :N] = isinw
+        cosw_p = np.zeros((Np, n_bins), np.float32)
+        cosw_p[:N] = cosw
+        sinw_p = np.zeros((Np, n_bins), np.float32)
+        sinw_p[:N] = sinw
+        cosw, sinw, icosw, isinw = cosw_p, sinw_p, icosw_p, isinw_p
+        # Per-frame 1/env with zero tail: E[t, j] = inv_env[t·hop + j],
+        # with the reflect-CORRECTED spans zeroed so the edge-slab
+        # matmul below can fill them additively (no masked row writes —
+        # single-row VMEM updates measured ~27 ms/call, the dominant
+        # cost of the first fused attempt).
+        E_fr = np.zeros((F, Np), np.float32)
+        for t in range(F):
+            E_fr[t, :N] = inv_env[t * hop : t * hop + N]
+        for t in range(n_edge):            # left corrected spans
+            E_fr[t, : pad - t * hop] = 0.0
+        for s in range(n_edge):            # right corrected spans
+            E_fr[F - 1 - s, pad + s * hop :] = 0.0
+        # Frame-shift matrices for the interior consistency sum: block
+        # i maps fr[t] → fr[t + d_i] (zero outside [0, F)), one aligned
+        # row-slab per nonzero d. Measured variants (128 clips, GL×32):
+        # per-d (F8, F) matmuls = 41.1 ms; ONE stacked (7·F8, F) matmul
+        # incl. d=0 = 48.7 ms; stacked + per-128-lane-chunk accumulation
+        # = 46.4 ms → per-d small matmuls win, keep them.
+        F8 = _round_up(F, 8)
+        ds_nz = [d for d in range(-(K_ola - 1), K_ola) if d != 0]
+        T_st = np.zeros((len(ds_nz) * F8, F), np.float32)
+        for i, d in enumerate(ds_nz):
+            for t in range(F):
+                if 0 <= t + d < F:
+                    T_st[i * F8 + t, t + d] = 1.0
+        # Edge-slab selectors (frame-space reflect, derivation: the
+        # reflected left-edge wav values wav'[j] = wav[2·pad − j]
+        # (j < pad) all live inside frame 1 (covers [hop, hop+N) ⊇
+        # [pad+1, 2·pad+1) since hop ≤ pad); in frame-1 coordinates the
+        # source sample is (N − hop) − j. Right edge symmetrically from
+        # frame F−2: wav'[total−pad+k] = wav[total−pad−2−k]; in
+        # frame-(F−1) coordinates redge[j] (j ∈ [pad, N)) reads frame
+        # F−2 sample (hop + N − 2) − j. The env normalization of the
+        # SOURCE row and the per-target-frame lane shift + valid-span
+        # mask are all folded in on the host, so at runtime each edge
+        # row costs one matmul column-block, nothing else.
+        e1 = E_fr[1].copy()                # env of source row 1
+        e1[: pad - hop] = inv_env[hop : pad]  # unmasked (span disjoint)
+        eF2 = np.zeros(Np, np.float32)
+        eF2[:N] = inv_env[(F - 2) * hop : (F - 2) * hop + N]
+        JL = np.zeros((Np, Np), np.float32)
+        for j in range(pad):
+            JL[(N - hop) - j, j] = e1[(N - hop) - j]
+        JR = np.zeros((Np, Np), np.float32)
+        for j in range(pad, N):
+            JR[(hop + N - 2) - j, j] = eF2[(hop + N - 2) - j]
+        # ledge[j] is the corrected wav'[j] (j < pad); target frame t
+        # needs it lane-shifted by t·hop and clipped to its corrected
+        # span. redge[j] (frame F−1 coords) shifts by s·hop for frame
+        # F−1−s.
+        jl_cat = np.zeros((Np, n_edge * Np), np.float32)
+        for t in range(n_edge):
+            w = pad - t * hop
+            jl_cat[:, t * Np : t * Np + w] = JL[:, t * hop : t * hop + w]
+        jr_cat = np.zeros((Np, n_edge * Np), np.float32)
+        for s in range(n_edge):
+            lo = pad + s * hop
+            jr_cat[:, s * Np + lo : s * Np + N] = JR[:, lo - s * hop :
+                                                     N - s * hop]
+        # EC placement: column k of U_ec selects edge-slab row k into
+        # its target frame (left t = k, then right F−1−s).
+        U_ec = np.zeros((F, 2 * n_edge), np.float32)
+        for t in range(n_edge):
+            U_ec[t, t] = 1.0
+        for s in range(n_edge):
+            U_ec[F - 1 - s, n_edge + s] = 1.0
+        total_w = total + (Np - N)         # OLA scratch fits Np windows
 
     def kernel(*refs):
-        acc_s = None
-        if use_split:
-            refs, acc_s = refs[:-1], refs[-1]
+        refs = list(refs)
+        mag_ref = refs.pop(0)
+        obsre_ref = obsim_ref = None
         if use_obs:
-            (mag_ref, obsre_ref, obsim_ref, cosw_ref, sinw_ref,
-             icosw_ref, isinw_ref, env_ref, jl_ref, jr_ref, out_ref,
-             re_s, im_s, pre_s, pim_s, fr_s, wav_s) = refs
-        else:
-            (mag_ref, cosw_ref, sinw_ref, icosw_ref, isinw_ref,
-             env_ref, jl_ref, jr_ref, out_ref, re_s, im_s, pre_s,
-             pim_s, fr_s, wav_s) = refs
+            obsre_ref = refs.pop(0)
+            obsim_ref = refs.pop(0)
+        cosw_ref, sinw_ref, icosw_ref, isinw_ref = refs[:4]
+        env_ref, jl_ref, jr_ref = refs[4:7]
+        del refs[:7]
+        e_ref = t_ref = u_ref = None
+        if use_fused:
+            e_ref, t_ref, u_ref = refs[:3]
+            del refs[:3]
+        out_ref, re_s, im_s, pre_s, pim_s, fr_s, wav_s = refs[:7]
+        acc_s = refs[7] if use_split else None
         magv = mag_ref[:]                             # (CB, F, n_bins)
         re_s[:] = jnp.ones_like(magv)                 # zero phase: e^{i0}
         im_s[:] = jnp.zeros_like(magv)
         pre_s[:] = jnp.zeros_like(magv)
         pim_s[:] = jnp.zeros_like(magv)
 
-        def istft_to_wav():
-            """(re_s, im_s) phase + mag → normalized padded wav in wav_s."""
+        NW = Np if use_fused else N        # frame width in VMEM
+
+        def compute_frames():
+            """(re_s, im_s) phase + mag → windowed synthesis frames."""
             sre = magv * re_s[:]
             sim = magv * im_s[:]
             if use_obs:
@@ -188,8 +312,26 @@ def griffin_lim_pallas(
                         preferred_element_type=jnp.float32)
                 + jnp.dot(xim, isinw_ref[:],
                           preferred_element_type=jnp.float32)
-            ).reshape(CB, F, N)
-            if use_split:
+            ).reshape(CB, F, NW)
+
+        def istft_to_wav():
+            """Synthesis frames → normalized padded wav in wav_s."""
+            compute_frames()
+            if use_fused:
+                # One-shot OLA for the FINAL waveform only (the loop
+                # itself never materializes wav in fused mode). Windows
+                # are Np wide; the zero tail lands in the wav scratch's
+                # extra Np−N columns, past every sample that is read.
+                wav_s[:] = jnp.zeros_like(wav_s)
+
+                def ola_body(f, _):
+                    seg = wav_s[:, pl.ds(f * hop, Np)]
+                    wav_s[:, pl.ds(f * hop, Np)] = seg + fr_s[:, f, :]
+                    return 0
+
+                jax.lax.fori_loop(0, F, ola_body, 0)
+                wav_s[:, 0:total] = wav_s[:, 0:total] * env_ref[:]
+            elif use_split:
                 # v6: accumulator k gets frames k, k+K, ... — strides
                 # K·hop ≥ n_fft keep each accumulator's writes disjoint,
                 # so OLA is pure stores (no serial read-modify-write).
@@ -252,12 +394,69 @@ def griffin_lim_pallas(
                                preferred_element_type=jnp.float32
                                ).reshape(CB, F, n_bins)
 
+        def fused_project():
+            """v7: fr_s → consistent frames → (re, im) with ZERO loops
+            and ZERO single-row VMEM writes.
+
+            Interior: fr'[t, j] = E[t, j] · Σ_d fr[t+d, j − d·hop]. The
+            frame-axis shift rides the MXU (T_d @ fr, a stacked 0/1
+            operand) because a sublane-offset slab add costs a full
+            relayout (the v2 lesson, re-measured for v7: 19 ms/call);
+            the remaining lane-axis shifts are all multiples of 128
+            when hop % 128 == 0 → pure register moves. Edges: the
+            reflect-pad of the next analysis pass is applied IN FRAME
+            SPACE — env-scaled, lane-shifted, span-masked selector
+            blocks are folded into jl/jr on the host, every target
+            span is pre-zeroed in E, and one rank-2·n_edge matmul
+            (u_ref @ slabs) scatters the corrected rows additively.
+            """
+            for c in range(CB):
+                frc = fr_s[c]                          # (F, Np)
+                acc = frc                              # the d = 0 term
+                for i, d in enumerate(ds_nz):
+                    g = jnp.dot(t_ref[i * F8 : i * F8 + F8, :], frc,
+                                preferred_element_type=jnp.float32)
+                    j0 = max(0, d * hop)
+                    j1 = min(Np, Np + d * hop)
+                    sl = g[0:F, j0 - d * hop : j1 - d * hop]
+                    z = jnp.zeros((F, Np - (j1 - j0)), jnp.float32)
+                    part = (jnp.concatenate([sl, z], axis=1)
+                            if j0 == 0 else
+                            jnp.concatenate([z, sl], axis=1))
+                    acc = acc + part
+                # Edge slabs from the UN-normalized accumulator rows
+                # (env of the source rows lives inside jl/jr).
+                r1 = acc[1:2, :]                       # (1, Np)
+                rF = acc[F - 2 : F - 1, :]
+                wl = jnp.dot(r1, jl_ref[:],
+                             preferred_element_type=jnp.float32)
+                wr = jnp.dot(rF, jr_ref[:],
+                             preferred_element_type=jnp.float32)
+                w = jnp.concatenate([wl, wr], axis=1
+                                    ).reshape(2 * n_edge, Np)
+                ec = jnp.dot(u_ref[:], w,
+                             preferred_element_type=jnp.float32)
+                fr_s[c] = acc * e_ref[:] + ec          # e_ref is 1/env
+            xf = fr_s[:].reshape(CB * F, Np).astype(mm_dt)
+            pre_s[:] = jnp.dot(xf, cosw_ref[:],
+                               preferred_element_type=jnp.float32
+                               ).reshape(CB, F, n_bins)
+            pim_s[:] = jnp.dot(xf, sinw_ref[:],
+                               preferred_element_type=jnp.float32
+                               ).reshape(CB, F, n_bins)
+
         def body(_, carry):
-            istft_to_wav()
+            if use_fused:
+                compute_frames()
+            else:
+                istft_to_wav()
             # Momentum uses previous rebuilt (pre_s/pim_s hold it).
             old_re = pre_s[:]
             old_im = pim_s[:]
-            project()                                  # writes new rebuilt
+            if use_fused:
+                fused_project()
+            else:
+                project()                              # writes new rebuilt
             are = pre_s[:] - beta * old_re
             aim = pim_s[:] - beta * old_im
             inv = jax.lax.rsqrt(are * are + aim * aim + 1e-16)
@@ -269,27 +468,38 @@ def griffin_lim_pallas(
         istft_to_wav()
         out_ref[:, 0, :] = wav_s[:, pad : pad + T]
 
+    NW = Np if use_fused else N
+    jl_shape = (Np, n_edge * Np) if use_fused else (Jpad, Jpad)
     clip_spec = pl.BlockSpec((CB, F, n_bins), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [clip_spec]
     if use_obs:
         in_specs += [clip_spec, clip_spec]
     in_specs += [
-        pl.BlockSpec((N, n_bins), lambda b: (0, 0),
+        pl.BlockSpec((NW, n_bins), lambda b: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((N, n_bins), lambda b: (0, 0),
+        pl.BlockSpec((NW, n_bins), lambda b: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_bins, N), lambda b: (0, 0),
+        pl.BlockSpec((n_bins, NW), lambda b: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_bins, N), lambda b: (0, 0),
+        pl.BlockSpec((n_bins, NW), lambda b: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, total), lambda b: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((Jpad, Jpad), lambda b: (0, 0),
+        pl.BlockSpec(jl_shape, lambda b: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((Jpad, Jpad), lambda b: (0, 0),
+        pl.BlockSpec(jl_shape, lambda b: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if use_fused:
+        in_specs += [
+            pl.BlockSpec((F, Np), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(T_st.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(U_ec.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     # Output is (B, 1, T) so each block's trailing two dims equal the
     # array dims (TPU block-shape rule); squeezed on return.
     out_specs = pl.BlockSpec((CB, 1, T), lambda b: (b, 0, 0),
@@ -302,9 +512,12 @@ def griffin_lim_pallas(
         jnp.asarray(cosw, matmul_dtype), jnp.asarray(sinw, matmul_dtype),
         jnp.asarray(icosw, matmul_dtype), jnp.asarray(isinw, matmul_dtype),
         jnp.asarray(inv_env).reshape(1, total),
-        jnp.asarray(J_left),
-        jnp.asarray(J_right),
+        jnp.asarray(jl_cat if use_fused else J_left),
+        jnp.asarray(jr_cat if use_fused else J_right),
     ]
+    if use_fused:
+        operands += [jnp.asarray(E_fr), jnp.asarray(T_st),
+                     jnp.asarray(U_ec)]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, 1, T), jnp.float32),
@@ -316,8 +529,9 @@ def griffin_lim_pallas(
             pltpu.VMEM((CB, F, n_bins), jnp.float32),  # im
             pltpu.VMEM((CB, F, n_bins), jnp.float32),  # prev rebuilt re
             pltpu.VMEM((CB, F, n_bins), jnp.float32),  # prev rebuilt im
-            pltpu.VMEM((CB, F, N), jnp.float32),       # frame buffer
-            pltpu.VMEM((CB, total), jnp.float32),      # waveform buffer
+            pltpu.VMEM((CB, F, NW), jnp.float32),      # frame buffer
+            pltpu.VMEM((CB, total_w if use_fused else total),
+                       jnp.float32),                   # waveform buffer
         ] + (
             [pltpu.VMEM((K_ola, CB, total), jnp.float32)]  # split OLA acc
             if use_split else []
