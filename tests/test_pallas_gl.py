@@ -170,3 +170,21 @@ def test_fused_product_config():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3
     )
+
+
+def test_auto_mode_selection():
+    """auto → fused when constraints hold, chain otherwise (tiny F)."""
+    cfg = STFTConfig(n_fft=510, hop_length=128)
+    rng = np.random.default_rng(3)
+    # F = 5 == 2*ceil(pad/hop)+1 → constraint F > 5 fails → chain path
+    # (exercised via interpret; output must still match the reference).
+    n_small = 128 * 4
+    x = (0.4 * np.sin(2 * np.pi * 440 *
+                      np.arange(n_small)[None, :] / 16000)
+         ).astype(np.float32)
+    mag = stft_magnitude(x, cfg)
+    ref = griffin_lim(mag, cfg, n_iter=1, length=n_small)
+    out = griffin_lim_pallas(mag, cfg, n_iter=1, length=n_small,
+                             interpret=True)  # ola_mode="auto"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
