@@ -142,6 +142,35 @@ def main():
         log({"exp": exp, "batch": batch, "clips_per_s": round(cps, 1),
              "ms_per_call": round(ms, 2)})
 
+    elif exp == "serving":
+        # End-to-end InpaintService: bucketed batched inpaint through
+        # the PRODUCT surface (pad-to-bucket, mask build, host round
+        # trip each call — the realistic serving number, unlike the
+        # chained device-only probes above).
+        import dataclasses
+
+        from flax import nnx
+
+        from viai_tpu.nn import define_G
+        from viai_tpu.serving import InpaintService
+        from viai_tpu.train import TrainConfig
+
+        cfg = dataclasses.replace(TrainConfig(), gl_backend="pallas")
+        G = define_G(dtype="bfloat16")
+        g_def, g_state = nnx.split(G)
+        svc = InpaintService(g_def, g_state, cfg, buckets=(8, 32, batch))
+        wavs = np.asarray(wav)
+        out = svc.inpaint(wavs, gap_start_s=0.8, gap_end_s=1.2)  # warmup
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = svc.inpaint(wavs, gap_start_s=0.8, gap_end_s=1.2)
+        dt = time.perf_counter() - t0
+        log({"exp": exp, "batch": batch,
+             "clips_per_s": round(batch * n / dt, 1),
+             "ms_per_call": round(dt / n * 1000, 2),
+             "note": "includes host<->device transfer each call"})
+
     elif exp == "train_av":
         # Full AV GAN train step: G+D+V, frames resident on device.
         from flax import nnx
