@@ -63,7 +63,18 @@ def main(args=None):
                             tensorboard=getattr(opt, "tensorboard", False))
 
     total_steps = 0
-    data_iter = iter(loader)
+    # Overlap host→device transfer with device compute: batches are
+    # device_put (batch axis sharded over the mesh) `depth` steps ahead
+    # of consumption, so the train step never waits on H2D — on hosts
+    # with slow links (the axon relay here) this pipelines the
+    # per-step transfer behind the previous step's compute.
+    # set_input's device_put of an already-placed array is a no-op.
+    from ..data.prefetch import device_prefetch
+
+    def _fresh_iter():
+        return device_prefetch(iter(loader), model.batch_sharding, depth=2)
+
+    data_iter = _fresh_iter()
     for epoch in range(opt.epoch_count, opt.niter + opt.niter_decay + 1):
         epoch_start = time.time()
         for i in range(steps_per_epoch):
@@ -71,7 +82,7 @@ def main(args=None):
             try:
                 batch = next(data_iter)
             except StopIteration:
-                data_iter = iter(loader)
+                data_iter = _fresh_iter()
                 batch = next(data_iter)
             model.set_input(batch)
             model.optimize_parameters()

@@ -146,6 +146,11 @@ class VIAIModel:
         self._last_step_key = None   # step key of the latest train step
         self._vis_infer = None       # lazy external-mask infer for visuals
 
+    @property
+    def batch_sharding(self):
+        """Batch-axis NamedSharding — for device_prefetch pipelines."""
+        return self._batch_sharding
+
     # ---- reference BaseModel surface ------------------------------------
 
     def set_input(self, batch: dict):
