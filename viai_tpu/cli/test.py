@@ -21,7 +21,8 @@ from ..data import create_dataloader
 from ..model import create_model
 from ..signal import stft_magnitude
 from ..train.step import preprocess
-from ..utils.metrics import masked_psnr, psnr, snr
+from ..utils.metrics import (masked_psnr, psnr, snr,
+                             spectral_convergence)
 from ..utils.visualizer import HTMLGallery
 
 
@@ -58,7 +59,7 @@ def main(args=None):
     )
     gallery = HTMLGallery(results_dir, f"{opt.name} — epoch {opt.which_epoch}")
 
-    all_psnr, all_hole_psnr, all_snr = [], [], []
+    all_psnr, all_hole_psnr, all_snr, all_sc = [], [], [], []
     n_done = 0
     key = jax.random.key(opt.seed)
     for batch in loader:
@@ -84,9 +85,12 @@ def main(args=None):
         b_psnr = np.asarray(psnr(out_img, in_img))
         b_hole = np.asarray(masked_psnr(out_img, in_img, m))
         b_snr = np.asarray(snr(out_wav, wav_in))
+        b_sc = np.asarray(spectral_convergence(out_wav, wav_in,
+                                               model.cfg.stft))
         all_psnr += list(b_psnr)
         all_hole_psnr += list(b_hole)
         all_snr += list(b_snr)
+        all_sc += list(b_sc)
 
         wav_np = np.asarray(wav_in)
         out_np = np.asarray(out_wav)
@@ -106,6 +110,7 @@ def main(args=None):
                     "PSNR": float(b_psnr[b]),
                     "holePSNR": float(b_hole[b]),
                     "SNR": float(b_snr[b]),
+                    "specConv": float(b_sc[b]),
                 },
                 sr=opt.sample_rate,
             )
@@ -119,12 +124,13 @@ def main(args=None):
             float(np.mean(all_hole_psnr)) if all_hole_psnr else float("nan")
         ),
         "snr_mean": float(np.mean(all_snr)) if all_snr else float("nan"),
+        "spec_conv_mean": float(np.mean(all_sc)) if all_sc else float("nan"),
     }
     print(f"results → {path}")
     print(
         f"PSNR {summary['psnr_mean']:.2f} dB | hole-PSNR "
         f"{summary['hole_psnr_mean']:.2f} dB | SNR {summary['snr_mean']:.2f} dB "
-        f"({n_done} clips)"
+        f"| specConv {summary['spec_conv_mean']:.4f} ({n_done} clips)"
     )
     return summary
 

@@ -87,7 +87,10 @@ def save_networks(
     os.makedirs(expr_dir, exist_ok=True)
     for name, state in nets.items():
         flat = flatten_state(state)
-        sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+        # np.array(copy=True) also guarantees WRITEABLE (jax buffers
+        # export read-only; ascontiguousarray would pass them through
+        # and trip torch's non-writable-tensor warning).
+        sd = {k: torch.from_numpy(np.array(v, copy=True))
               for k, v in flat.items()}
         torch.save(sd, _net_path(expr_dir, which_epoch, name))
         if also_latest and str(which_epoch) != "latest":

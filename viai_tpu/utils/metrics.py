@@ -33,3 +33,20 @@ def masked_psnr(pred, target, keep_mask, data_range: float = 2.0):
         jnp.sum(hole, axis=axes), 1.0
     )
     return 10.0 * jnp.log10(data_range**2 / jnp.maximum(mse, 1e-12))
+
+
+def spectral_convergence(pred_wav, target_wav, stft_cfg):
+    """Spectral convergence: ‖|S_pred| − |S_tgt|‖_F / ‖|S_tgt|‖_F.
+
+    The standard Griffin-Lim reconstruction-quality metric (lower is
+    better; 0 = magnitudes identical). Complements waveform SNR, which
+    punishes phase differences the ear largely ignores.
+    """
+    from ..signal import stft_magnitude
+
+    mp = stft_magnitude(pred_wav, stft_cfg)
+    mt = stft_magnitude(target_wav, stft_cfg)
+    axes = tuple(range(1, mp.ndim))
+    num = jnp.sqrt(jnp.sum((mp - mt) ** 2, axis=axes))
+    den = jnp.sqrt(jnp.sum(mt**2, axis=axes))
+    return num / jnp.maximum(den, 1e-12)
