@@ -72,16 +72,27 @@ def main():
     out = infer(g_state, v_state, wav, key)
     np.asarray(out)
 
-    t0 = time.perf_counter()
-    w = wav
-    for _ in range(args.iters):
-        w = infer(g_state, v_state, w, key)
-    host = np.asarray(w)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(host).all()
+    # Median of 3 chained repeats: the axon relay's run-to-run variance
+    # was measured at ±20% on some days (BENCHMARKS.md); a single
+    # sample under- or over-credits the kernel work by luck of the
+    # tunnel. Median is reported; all samples are printed to stderr.
+    import sys
+
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        w = wav
+        for _ in range(args.iters):
+            w = infer(g_state, v_state, w, key)
+        host = np.asarray(w)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(host).all()
+        samples.append(args.batch * args.iters / dt)
+    print(f"samples (clips/s): {[round(s, 1) for s in samples]}",
+          file=sys.stderr)
 
     n_chips = jax.device_count()
-    clips_per_sec = args.batch * args.iters / dt
+    clips_per_sec = sorted(samples)[len(samples) // 2]
     per_chip = clips_per_sec / n_chips
     print(json.dumps({
         "metric": "clips_per_sec_per_chip (2s inpaint + Griffin-Lim x"
