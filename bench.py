@@ -35,6 +35,10 @@ def main():
                     help="generator compute dtype (GL stays fp32)")
     ap.add_argument("--gl_backend", type=str, default="pallas",
                     choices=["xla", "pallas"])
+    ap.add_argument("--phase_init", type=str, default="zero",
+                    choices=["zero", "extrapolate"],
+                    help="GL hole-phase init (extrapolate: phase-vocoder "
+                         "seeding, +2-5 dB hole SNR, ~free)")
     ap.add_argument("--no_phase_aware", action="store_true",
                     help="ablation: zero-phase GL on the whole magnitude "
                          "(the reference chain / round-1 unit of work); "
@@ -59,7 +63,8 @@ def main():
     G = define_G(dtype=args.dtype)
     g_def, g_state = nnx.split(G)
     infer = make_infer_fn(g_def, None, cfg, n_gl_iter=args.gl_iters,
-                          phase_aware=not args.no_phase_aware)
+                          phase_aware=not args.no_phase_aware,
+                          phase_init=args.phase_init)
 
     rng = np.random.default_rng(0)
     wav = jax.numpy.asarray(

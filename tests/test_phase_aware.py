@@ -114,3 +114,61 @@ def test_infer_chain_phase_aware_improves_observed_snr():
     # The compress/decompress round-trip is not bit-exact, but observed
     # complex bins are verbatim → sub-percent waveform error.
     assert err_pa < 0.01, err_pa
+
+
+def test_extrapolate_init_improves_hole_snr():
+    """Phase-vocoder init: partials keep rotating through the gap, so a
+    stationary tone's hole reconstructs ~40 dB better than the 0° restart
+    (which GL×8 cannot undo — it converges to a consistent-but-shifted
+    solution)."""
+    hole = (30, 40)
+    x, mag, observed, n = _setup(hole=hole)
+    hop, n_fft = CFG.hop_length, CFG.n_fft
+    pad = n_fft // 2
+    sl = slice(hole[0] * hop - pad, (hole[1] - 1) * hop - pad + n_fft)
+
+    def hole_snr(out):
+        ref = x[:, sl]
+        err = np.asarray(out)[:, sl] - ref
+        return 10 * np.log10((ref ** 2).sum() / (err ** 2).sum())
+
+    zero = griffin_lim(mag, CFG, n_iter=8, length=n, observed=observed)
+    ext = griffin_lim(mag, CFG, n_iter=8, length=n, observed=observed,
+                      phase_init="extrapolate")
+    assert hole_snr(ext) > hole_snr(zero) + 10.0, (
+        hole_snr(ext), hole_snr(zero))
+    assert hole_snr(ext) > 25.0, hole_snr(ext)
+
+
+def test_extrapolate_requires_observed():
+    import pytest
+
+    x, mag, observed, n = _setup()
+    with pytest.raises(ValueError):
+        griffin_lim(mag, CFG, n_iter=1, length=n, phase_init="extrapolate")
+    with pytest.raises(ValueError):
+        griffin_lim_pallas(mag, CFG, n_iter=1, length=n, interpret=True,
+                           phase_init="extrapolate")
+
+
+def test_extrapolate_hole_at_clip_start_falls_back():
+    """Frames with no observed predecessor keep zero-phase init (no NaNs,
+    output finite, observed region still clamps)."""
+    x, mag, (fmask, re, im), n = _setup()
+    fm = np.asarray(fmask).copy()
+    fm[:, :10] = 0.0                     # hole at the very start
+    obs = (jnp.asarray(fm), re, im)
+    out = griffin_lim(mag, CFG, n_iter=4, length=n, observed=obs,
+                      phase_init="extrapolate")
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pallas_extrapolate_matches_jnp():
+    x, mag, observed, n = _setup(batch=3, seed=7)
+    ref = griffin_lim(mag, CFG, n_iter=2, length=n, observed=observed,
+                      phase_init="extrapolate")
+    out = griffin_lim_pallas(mag, CFG, n_iter=2, length=n, interpret=True,
+                             clips_per_block=2, observed=observed,
+                             phase_init="extrapolate")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)

@@ -65,6 +65,7 @@ class InpaintService:
         sample_rate: int = 16000,
         mesh=None,
         phase_aware: bool = True,
+        phase_init: str = "zero",
     ):
         """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
         bucket batch over the 'data' axis — DP serving across chips,
@@ -92,7 +93,7 @@ class InpaintService:
         self.sample_rate = sample_rate
         self._infer = make_infer_fn(
             g_def, v_def, cfg, n_gl_iter=gl_iters, external_mask=True,
-            phase_aware=phase_aware,
+            phase_aware=phase_aware, phase_init=phase_init,
         )
         self.stats = ServiceStats()
         import threading

@@ -37,8 +37,88 @@ def _unit(re, im, eps=1e-16):
     return re * inv, im * inv
 
 
+def extrapolate_hole_phase(
+    fmask: jax.Array,
+    re_in: jax.Array,
+    im_in: jax.Array,
+    shape: tuple[int, ...],
+) -> tuple[jax.Array, jax.Array]:
+    """Phase-vocoder init for the hole: (re0, im0) unit phasors.
+
+    For each frequency bin, the phase of a (quasi-)stationary partial
+    advances by a constant per hop. We measure that per-bin rotor at the
+    hole's left boundary (ρ = S[t0]·conj(S[t0−1]), normalized, where t0
+    is the last observed frame before the hole) and seed frame t inside
+    the hole with phase(S[t0]) + (t−t0)·angle(ρ) — i.e. the observed
+    partials keep rotating through the gap. Zero-phase GL instead
+    restarts every partial at 0°, so the first GL iterations are spent
+    undoing a discontinuity at the boundary; with this init they refine
+    an already-consistent guess (librosa's GL has no analogue because a
+    plain spectrogram has no observed region — this is inpainting-only
+    structure).
+
+    Everything is vectorized over frames: "last observed frame before
+    t" is a take-last-valid `lax.associative_scan` (O(log F) steps),
+    and the per-distance rotation uses angle/cos/sin once — no Python
+    loop over frames. Frames with no observed predecessor keep the
+    zero-phase init.
+
+    fmask: (..., F, 1) or (..., F, n_bins), 1 = observed; re_in/im_in:
+    the input's complex STFT, broadcastable to `shape` = mag.shape
+    (..., F, n_bins). Returns unit (re0, im0) of that shape.
+    """
+    f32 = jnp.float32
+    obs = jnp.broadcast_to(fmask.astype(f32), shape)
+    re_in = jnp.broadcast_to(re_in.astype(f32), shape)
+    im_in = jnp.broadcast_to(im_in.astype(f32), shape)
+    ure, uim = _unit(re_in, im_in)
+
+    F = shape[-2]
+    t_idx = jnp.arange(F, dtype=f32)[:, None]          # (F, 1)
+
+    def last_valid(val, valid):
+        """Per frame t: val at the last frame ≤ t with valid=1 (else 0)."""
+
+        def comb(a, b):
+            av, aval = a
+            bv, bval = b
+            return jnp.where(bval > 0, bv, av), jnp.maximum(aval, bval)
+
+        out, ok = jax.lax.associative_scan(comb, (val * valid, valid),
+                                           axis=-2)
+        return out, ok
+
+    # Boundary phasor p(t0) and its frame index t0, carried forward.
+    pre, _ = last_valid(ure, obs)
+    pim, _ = last_valid(uim, obs)
+    t0, ok = last_valid(jnp.broadcast_to(t_idx, shape), obs)
+
+    # Measured rotor at observed frames: ρ[t] = S[t]·conj(S[t−1]),
+    # valid where both frames are observed; carried forward like p.
+    rre = ure * jnp.roll(ure, 1, axis=-2) + uim * jnp.roll(uim, 1, axis=-2)
+    rim = uim * jnp.roll(ure, 1, axis=-2) - ure * jnp.roll(uim, 1, axis=-2)
+    pair = obs * jnp.roll(obs, 1, axis=-2)
+    pair = pair.at[..., 0, :].set(0.0)
+    rho_re, _ = last_valid(rre, pair)
+    rho_im, rho_ok = last_valid(rim, pair)
+
+    # init = p(t0) rotated by (t − t0)·angle(ρ); transcendentals run
+    # once at init time, not inside the GL loop.
+    theta = jnp.arctan2(rho_im, rho_re) * rho_ok
+    d = jnp.maximum(t_idx - t0, 0.0)
+    ang = d * theta
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    ire = pre * c - pim * s
+    iim = pre * s + pim * c
+    # No observed predecessor (hole at clip start) → zero phase.
+    re0 = jnp.where(ok > 0, ire, 1.0)
+    im0 = jnp.where(ok > 0, iim, 0.0)
+    return re0, im0
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_iter", "length", "momentum")
+    jax.jit,
+    static_argnames=("cfg", "n_iter", "length", "momentum", "phase_init"),
 )
 def griffin_lim(
     mag: jax.Array,
@@ -48,6 +128,7 @@ def griffin_lim(
     momentum: float = 0.99,
     key: jax.Array | None = None,
     observed: tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    phase_init: str = "zero",
 ) -> jax.Array:
     """(..., F, n_bins) magnitude → (..., T) waveform.
 
@@ -59,6 +140,11 @@ def griffin_lim(
         observed (complex STFT known), 0 inside the hole.
       * re_in/im_in: the input signal's complex STFT, same shape as mag.
     Observed bins are held verbatim; only hole bins' phase is recovered.
+
+    phase_init: "zero" (librosa default) or "extrapolate" (requires
+    `observed`): seed the hole with phase-vocoder extrapolation from the
+    boundary (see extrapolate_hole_phase) so GL refines a consistent
+    guess instead of a 0° restart.
     """
     mag = mag.astype(jnp.float32)
     if observed is not None:
@@ -68,7 +154,11 @@ def griffin_lim(
         obs_re = fmask * re_in.astype(jnp.float32)
         obs_im = fmask * im_in.astype(jnp.float32)
         mag = (1.0 - fmask) * mag
-    if key is None:
+    if phase_init == "extrapolate":
+        if observed is None:
+            raise ValueError("phase_init='extrapolate' requires observed=")
+        re, im = extrapolate_hole_phase(fmask, re_in, im_in, mag.shape)
+    elif key is None:
         re = jnp.ones_like(mag)
         im = jnp.zeros_like(mag)
     else:

@@ -83,6 +83,7 @@ def griffin_lim_pallas(
     matmul_dtype=jnp.float32,
     observed: tuple[jax.Array, jax.Array, jax.Array] | None = None,
     ola_mode: str = "auto",
+    phase_init: str = "zero",
 ) -> jax.Array:
     """(B, F, n_bins) magnitude → (B, length) waveform. Zero-phase init.
 
@@ -104,6 +105,12 @@ def griffin_lim_pallas(
     recovered. Pre-folded outside the kernel into a hole-masked
     magnitude plus an additive (obs_re, obs_im) pair — inside the loop
     it costs one extra VPU add per projection, no new matmuls.
+
+    phase_init: "zero" (default) or "extrapolate" (requires
+    `observed`): seed the hole's phase by phase-vocoder extrapolation
+    from the boundary (signal/griffin_lim.py::extrapolate_hole_phase,
+    computed in jnp outside the kernel — it runs once, not per
+    iteration); the kernel then starts from (re0, im0) instead of e^{i0}.
 
     ola_mode: "chain" = the v4 per-frame read-modify-write loop;
     "split" = v6: K=ceil(n_fft/hop) accumulators where accumulator k
@@ -135,6 +142,15 @@ def griffin_lim_pallas(
         obs_re = fmask * re_in.astype(jnp.float32)
         obs_im = fmask * im_in.astype(jnp.float32)
         mag = (1.0 - fmask) * mag
+    use_init = phase_init == "extrapolate"
+    if use_init:
+        if observed is None:
+            raise ValueError("phase_init='extrapolate' requires observed=")
+        from .griffin_lim import extrapolate_hole_phase
+
+        init_re, init_im = extrapolate_hole_phase(
+            fmask, re_in, im_in, mag.shape
+        )
     if ola_mode == "fused":
         # v7 keeps ~8 MB of host-folded operator constants resident;
         # one clip per program stays inside the ~16 MB VMEM budget
@@ -148,6 +164,11 @@ def griffin_lim_pallas(
         if observed is not None:
             obs_re = jnp.concatenate([obs_re, zpad], axis=0)
             obs_im = jnp.concatenate([obs_im, zpad], axis=0)
+        if use_init:
+            # Pad clips get zero-phase (unit-real) init: mag is zero
+            # there, so any unit phasor is fine — 1+0j keeps _unit sane.
+            init_re = jnp.concatenate([init_re, jnp.ones_like(zpad)], 0)
+            init_im = jnp.concatenate([init_im, zpad], axis=0)
     B = mag.shape[0]
     use_obs = observed is not None
     N = cfg.n_fft
@@ -281,6 +302,10 @@ def griffin_lim_pallas(
         if use_obs:
             obsre_ref = refs.pop(0)
             obsim_ref = refs.pop(0)
+        initre_ref = initim_ref = None
+        if use_init:
+            initre_ref = refs.pop(0)
+            initim_ref = refs.pop(0)
         cosw_ref, sinw_ref, icosw_ref, isinw_ref = refs[:4]
         env_ref, jl_ref, jr_ref = refs[4:7]
         del refs[:7]
@@ -291,8 +316,12 @@ def griffin_lim_pallas(
         out_ref, re_s, im_s, pre_s, pim_s, fr_s, wav_s = refs[:7]
         acc_s = refs[7] if use_split else None
         magv = mag_ref[:]                             # (CB, F, n_bins)
-        re_s[:] = jnp.ones_like(magv)                 # zero phase: e^{i0}
-        im_s[:] = jnp.zeros_like(magv)
+        if use_init:
+            re_s[:] = initre_ref[:]
+            im_s[:] = initim_ref[:]
+        else:
+            re_s[:] = jnp.ones_like(magv)             # zero phase: e^{i0}
+            im_s[:] = jnp.zeros_like(magv)
         pre_s[:] = jnp.zeros_like(magv)
         pim_s[:] = jnp.zeros_like(magv)
 
@@ -475,6 +504,8 @@ def griffin_lim_pallas(
     in_specs = [clip_spec]
     if use_obs:
         in_specs += [clip_spec, clip_spec]
+    if use_init:
+        in_specs += [clip_spec, clip_spec]
     in_specs += [
         pl.BlockSpec((NW, n_bins), lambda b: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -508,6 +539,9 @@ def griffin_lim_pallas(
     operands = [mag]
     if use_obs:
         operands += [obs_re, obs_im]
+    if use_init:
+        operands += [init_re.astype(jnp.float32),
+                     init_im.astype(jnp.float32)]
     operands += [
         jnp.asarray(cosw, matmul_dtype), jnp.asarray(sinw, matmul_dtype),
         jnp.asarray(icosw, matmul_dtype), jnp.asarray(isinw, matmul_dtype),
