@@ -35,10 +35,11 @@ def main():
                     help="generator compute dtype (GL stays fp32)")
     ap.add_argument("--gl_backend", type=str, default="pallas",
                     choices=["xla", "pallas"])
-    ap.add_argument("--phase_init", type=str, default="zero",
-                    choices=["zero", "extrapolate"],
+    ap.add_argument("--phase_init", type=str, default="auto",
+                    choices=["auto", "zero", "extrapolate"],
                     help="GL hole-phase init (extrapolate: phase-vocoder "
-                         "seeding, +2-5 dB hole SNR, ~free)")
+                         "seeding, +1.7 dB hole-PSNR with a trained G, "
+                         "~free; auto = product default)")
     ap.add_argument("--no_phase_aware", action="store_true",
                     help="ablation: zero-phase GL on the whole magnitude "
                          "(the reference chain / round-1 unit of work); "

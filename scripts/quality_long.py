@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Long quality run at device speed, saving test.py-compatible nets.
+
+The CLI train loop ships a fresh host batch per step; through this
+environment's TPU relay that is transfer/RTT-bound (~1 step/s), which
+makes 10k+ step quality studies impractical. This script keeps the
+exact CLI model construction (TrainOptions → VIAIModel, so the saved
+`{epoch}_net_*.pth` load in test.py verbatim) but drives the jit'd
+train step over a DEVICE-RESIDENT pool of synthetic clips: the pool is
+uploaded once and every step picks a pool batch + a fresh mask/crop key
+(mask sampling lives inside the step, so data diversity per step
+matches the CLI path with a pool this large).
+
+Usage:
+  python scripts/quality_long.py --steps 15000 --batch 32 \
+      --hole_weight 3.0 --name q15k --checkpoints_dir /tmp/q15k
+Then:
+  python test.py --name q15k --checkpoints_dir /tmp/q15k ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=15000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--pool_batches", type=int, default=64,
+                    help="device-resident pool size, in batches")
+    ap.add_argument("--hole_weight", type=float, default=3.0)
+    ap.add_argument("--name", type=str, default="qlong")
+    ap.add_argument("--checkpoints_dir", type=str, default="/tmp/qlong")
+    ap.add_argument("--milestone", type=int, default=5000,
+                    help="save nets every N steps (plus latest at end)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    from viai_tpu.config.options import TrainOptions
+    from viai_tpu.data.synthetic import SyntheticBatchIterator, SyntheticConfig
+    from viai_tpu.model import VIAIModel
+    from viai_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+
+    # Exact CLI construction (same init/dropout/schedule semantics).
+    epochs_total = max(args.steps // args.milestone, 1)
+    opt = TrainOptions().parse([
+        "--name", args.name,
+        "--checkpoints_dir", args.checkpoints_dir,
+        "--dataset_mode", "synthetic",
+        "--batchSize", str(args.batch),
+        "--dtype", "bfloat16",
+        "--hole_weight", str(args.hole_weight),
+        "--lr_policy", "lambda",
+        "--niter", str(max(epochs_total - 1, 1)),
+        "--niter_decay", "1",
+        "--steps_per_epoch", str(args.milestone),
+        "--seed", str(args.seed),
+    ])
+    model = VIAIModel(opt)
+
+    # Device-resident clip pool, uploaded once.
+    it = SyntheticBatchIterator(SyntheticConfig(), batch=args.batch,
+                                seed=args.seed + 1)
+    gen = iter(it)
+    pool = [jax.device_put(np.asarray(next(gen)["wav"]))
+            for _ in range(args.pool_batches)]
+    it.close()
+    print(f"pool: {args.pool_batches} x {args.batch} clips on device",
+          flush=True)
+
+    key = jax.random.key(args.seed + 2)
+    t0 = time.perf_counter()
+    losses = {}
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        model.state, losses = model.train_step(
+            model.state, pool[i % args.pool_batches], None, sub, None
+        )
+        step = i + 1
+        if step % 500 == 0:
+            l1 = float(losses["loss_G_L1"])   # forces a sync point
+            rate = step / (time.perf_counter() - t0)
+            print(f"step {step}/{args.steps}  L1 {l1:.5f}  "
+                  f"{rate:.1f} steps/s", flush=True)
+        if step % args.milestone == 0:
+            model.save_networks(str(step))
+            print(f"saved nets @ {step}", flush=True)
+
+    dt = time.perf_counter() - t0
+    rec = {
+        "exp": "quality_long", "steps": args.steps, "batch": args.batch,
+        "hole_weight": args.hole_weight,
+        "pool_clips": args.pool_batches * args.batch,
+        "final_l1": round(float(losses["loss_G_L1"]), 6),
+        "train_clips_per_s": round(args.steps * args.batch / dt, 1),
+        "expr_dir": model.expr_dir, "t": time.time(),
+    }
+    out = os.path.join(os.path.dirname(__file__), "quality_results.jsonl")
+    with open(out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

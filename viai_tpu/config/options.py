@@ -104,14 +104,15 @@ class BaseOptions:
                             "keeping the observed frames' complex STFT "
                             "verbatim (phase-aware is the default and "
                             "strictly better on waveform SNR)")
-        p.add_argument("--phase_init", type=str, default="zero",
-                       choices=["zero", "extrapolate"],
+        p.add_argument("--phase_init", type=str, default="auto",
+                       choices=["auto", "zero", "extrapolate"],
                        help="GL hole-phase init: 'extrapolate' seeds the "
                             "hole by phase-vocoder extrapolation from the "
                             "boundary (each bin's phasor keeps rotating at "
-                            "its measured per-hop rotor) — +2-5 dB hole "
-                            "SNR at GL x32; requires phase-aware GL "
-                            "(i.e. not --no_phase_aware)")
+                            "its measured per-hop rotor) — +1.7 dB "
+                            "hole-PSNR / +3.1 dB SNR with a trained G; "
+                            "'auto' (default) = extrapolate under "
+                            "phase-aware GL, zero with --no_phase_aware")
         p.add_argument("--gl_backend", type=str, default="xla",
                        choices=["xla", "pallas"],
                        help="Griffin-Lim impl: XLA ops or the "

@@ -113,19 +113,42 @@ def _resample_frames(arr, n_frames, size, window=None):
     return arr
 
 
+def _native_frames(path, n_frames, size, window):
+    """C++ fast path (native/framestack.cpp) for npy stacks and
+    uncompressed AVIs; returns None when the native lib is missing or
+    the container is unsupported (compressed video, non-u8 npy)."""
+    try:
+        from ..native import load_frames
+
+        return load_frames(path, n_frames, size, window)
+    except Exception:
+        return None
+
+
 def load_frames_for(stem: str, n_frames: int, size: int,
                     window: tuple[float, float] | None = None) -> np.ndarray:
     """Try the supported frame layouts for `<stem>` in priority order.
 
     `window` = (t0_frac, t1_frac) of the SOURCE duration: selects the
     frames temporally aligned with the audio crop (ADVICE.md medium #1).
+
+    npy stacks and uncompressed AVIs decode through the native C++
+    reader when available (select + resize + normalize, threaded);
+    jpeg dirs and compressed video keep the PIL/cv2 path.
     """
     if os.path.exists(stem + ".npy"):
+        out = _native_frames(stem + ".npy", n_frames, size, window)
+        if out is not None:
+            return out
         return _load_frames_npy(stem + ".npy", n_frames, size, window)
     if os.path.isdir(stem):
         return _load_frames_dir(stem, n_frames, size, window)
     for ext in (".mp4", ".avi", ".mkv", ".webm"):
         if os.path.exists(stem + ext):
+            if ext == ".avi":
+                out = _native_frames(stem + ext, n_frames, size, window)
+                if out is not None:
+                    return out
             return _load_frames_video(stem + ext, n_frames, size, window)
     raise FileNotFoundError(f"no frame source for {stem}")
 

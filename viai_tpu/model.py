@@ -139,7 +139,7 @@ class VIAIModel:
             self.g_def, self.v_def, self.cfg,
             n_gl_iter=getattr(opt, "gl_iters", 32),
             phase_aware=not getattr(opt, "no_phase_aware", False),
-            phase_init=getattr(opt, "phase_init", "zero"),
+            phase_init=getattr(opt, "phase_init", "auto"),
         )
         self._key = jax.random.key(opt.seed)
         self._input = None
@@ -258,7 +258,7 @@ class VIAIModel:
                 n_gl_iter=getattr(self.opt, "gl_iters", 32),
                 external_mask=True,
                 phase_aware=not getattr(self.opt, "no_phase_aware", False),
-                phase_init=getattr(self.opt, "phase_init", "zero"),
+                phase_init=getattr(self.opt, "phase_init", "auto"),
             )
         tmask = pre["mask_img"][:, 0, :, 0]
         fake = self._vis_infer(

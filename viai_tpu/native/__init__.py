@@ -32,11 +32,24 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True if any source is newer than the built .so (e.g. after a
+    pull that added framestack.cpp next to an old wavio-only build)."""
+    try:
+        so_m = os.path.getmtime(_SO)
+        return any(
+            os.path.getmtime(os.path.join(_DIR, f)) > so_m
+            for f in os.listdir(_DIR) if f.endswith(".cpp")
+        )
+    except OSError:
+        return False
+
+
 def _load():
     global _lib, AVAILABLE
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _build():
+    if (not os.path.exists(_SO) or _stale()) and not _build():
         return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -64,6 +77,16 @@ def _load():
     ]
     lib.viai_loader_destroy.restype = None
     lib.viai_loader_destroy.argtypes = [ctypes.c_void_p]
+    try:
+        # Absent in a pre-framestack build when the rebuild failed.
+        lib.viai_load_frames.restype = ctypes.c_int32
+        lib.viai_load_frames.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     AVAILABLE = True
     return lib
@@ -84,6 +107,29 @@ def decode_wav(data: bytes, max_samples: int = 16000 * 600):
     if n < 0:
         raise ValueError("not a decodable WAV buffer")
     return out[:n].copy(), int(sr.value)
+
+
+def load_frames(path: str, n_frames: int, size: int,
+                window: tuple[float, float] | None = None) -> np.ndarray:
+    """Native frame-stack read: `.npy` uint8 (T,H,W,3) stack or
+    uncompressed AVI → (n_frames, size, size, 3) float32 in [0,1],
+    frames selected over the fractional `window` of the source and
+    resized with Pillow-compatible triangle filtering (framestack.cpp;
+    threaded over frames). Raises on unsupported input — callers fall
+    back to the PIL/cv2 path (viai_tpu/data/av.py::load_frames_for)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "viai_load_frames"):
+        raise RuntimeError("native library unavailable")
+    w0, w1 = (0.0, 1.0) if window is None else window
+    out = np.empty((n_frames, size, size, 3), np.float32)
+    rc = lib.viai_load_frames(
+        path.encode(), n_frames, size, ctypes.c_float(w0),
+        ctypes.c_float(w1),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise ValueError(f"native frame decode failed ({rc}) for {path}")
+    return out
 
 
 def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:

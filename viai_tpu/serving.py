@@ -65,7 +65,7 @@ class InpaintService:
         sample_rate: int = 16000,
         mesh=None,
         phase_aware: bool = True,
-        phase_init: str = "zero",
+        phase_init: str = "auto",
     ):
         """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
         bucket batch over the 'data' axis — DP serving across chips,

@@ -312,7 +312,7 @@ def init_state(G, D, V, g_tx, d_tx, cfg: TrainConfig | None = None):
 
 def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                   length: int | None = None, external_mask: bool = False,
-                  phase_aware: bool = True, phase_init: str = "zero"):
+                  phase_aware: bool = True, phase_init: str = "auto"):
     """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
 
     Full chain: STFT → mask → G inpaint → composite (observed region is
@@ -341,8 +341,13 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
     measured from the last two observed frames (phase-vocoder
     extrapolation) — partials keep spinning through the gap instead of
     restarting at 0°. Measured +2–5 dB hole SNR at GL×32 on the notes
-    corpus, ~40 dB on stationary tones (tests/test_phase_aware.py).
+    corpus, ~40 dB on stationary tones (tests/test_phase_aware.py),
+    and on the product surface with a 15k-step G: +1.7 dB hole-PSNR /
+    +3.1 dB SNR (BENCHMARKS.md quality table). "auto" (default) =
+    extrapolate whenever phase_aware, zero otherwise.
     """
+    if phase_init == "auto":
+        phase_init = "extrapolate" if phase_aware else "zero"
     if phase_init == "extrapolate" and not phase_aware:
         raise ValueError("phase_init='extrapolate' requires phase_aware")
 
