@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--checkpoints_dir", type=str, default="/tmp/qlong")
     ap.add_argument("--milestone", type=int, default=5000,
                     help="save nets every N steps (plus latest at end)")
+    ap.add_argument("--long_gap", action="store_true",
+                    help="long-gap config: multi-res input, 75-150 frame "
+                         "masks (BASELINE config 3)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -68,7 +71,7 @@ def main():
         "--niter_decay", "1",
         "--steps_per_epoch", str(args.milestone),
         "--seed", str(args.seed),
-    ])
+    ] + (["--long_gap"] if args.long_gap else []))
     model = VIAIModel(opt)
 
     # Device-resident clip pool, uploaded once.
@@ -102,7 +105,7 @@ def main():
     dt = time.perf_counter() - t0
     rec = {
         "exp": "quality_long", "steps": args.steps, "batch": args.batch,
-        "hole_weight": args.hole_weight,
+        "hole_weight": args.hole_weight, "long_gap": args.long_gap,
         "pool_clips": args.pool_batches * args.batch,
         "final_l1": round(float(losses["loss_G_L1"]), 6),
         "train_clips_per_s": round(args.steps * args.batch / dt, 1),

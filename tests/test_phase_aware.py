@@ -172,3 +172,25 @@ def test_pallas_extrapolate_matches_jnp():
                              phase_init="extrapolate")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_phase_init_auto_resolution():
+    """auto → extrapolate under phase-aware GL, zero with
+    phase_aware=False (must NOT raise)."""
+    G, D, V = tiny_models()
+    g_tx, d_tx = adam(2e-4), adam(2e-4)
+    (g_def, d_def, v_def), state = init_state(G, D, V, g_tx, d_tx)
+    wav = jnp.asarray(tone_batch(1, seed=3))
+    key = jax.random.key(0)
+    # phase_aware=False + auto: resolves to zero, runs fine.
+    infer = make_infer_fn(g_def, v_def, TINY_CFG, n_gl_iter=2,
+                          phase_aware=False, phase_init="auto")
+    out = infer(state["g"], state["v"], wav, key)
+    assert np.isfinite(np.asarray(out)).all()
+    # phase_aware=True + auto == explicit extrapolate.
+    a = make_infer_fn(g_def, v_def, TINY_CFG, n_gl_iter=2,
+                      phase_init="auto")(state["g"], state["v"], wav, key)
+    b = make_infer_fn(g_def, v_def, TINY_CFG, n_gl_iter=2,
+                      phase_init="extrapolate")(state["g"], state["v"],
+                                                wav, key)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
