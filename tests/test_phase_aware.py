@@ -194,3 +194,42 @@ def test_phase_init_auto_resolution():
                       phase_init="extrapolate")(state["g"], state["v"],
                                                 wav, key)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_bidirectional_extrapolation_beats_forward():
+    """Anchoring the hole's phase at BOTH boundaries removes the seam a
+    forward-only extrapolation leaves at the right edge (measured
+    +1.9 dB on the notes corpus at GL x32). Pinned on a slow chirp: the
+    left-boundary rotor goes stale across the gap, the right anchor
+    corrects it; on a pure tone the two are equivalent."""
+    from viai_tpu.signal.griffin_lim import extrapolate_hole_phase
+
+    hole = (30, 42)
+    n = 2048
+    t = np.arange(n) / 16000
+    f_inst = 300.0 + 1500.0 * t                  # slow linear chirp
+    phase = 2 * np.pi * np.cumsum(f_inst) / 16000
+    x = (0.4 * np.sin(phase)).astype(np.float32)[None]
+    re, im = stft(x, CFG)
+    mag = jnp.sqrt(re * re + im * im + 1e-12)
+    fmask = np.ones((1, mag.shape[1], 1), np.float32)
+    fmask[:, hole[0]:hole[1]] = 0.0
+    observed = (jnp.asarray(fmask), re, im)
+
+    fwd = extrapolate_hole_phase(observed[0], re, im, mag.shape,
+                                 bidirectional=False)
+    bid = extrapolate_hole_phase(observed[0], re, im, mag.shape)
+
+    hop, n_fft = CFG.hop_length, CFG.n_fft
+    pad = n_fft // 2
+    sl = slice(hole[0] * hop - pad, (hole[1] - 1) * hop - pad + n_fft)
+
+    def hole_err(init):
+        out = griffin_lim(mag, CFG, n_iter=4, length=n, observed=observed,
+                          init=init)
+        return float(np.linalg.norm(np.asarray(out)[:, sl] - x[:, sl]))
+
+    assert hole_err(bid) < hole_err(fwd), (hole_err(bid), hole_err(fwd))
+    # Unit phasors everywhere.
+    nrm = np.asarray(bid[0]) ** 2 + np.asarray(bid[1]) ** 2
+    np.testing.assert_allclose(nrm, 1.0, atol=1e-4)

@@ -42,6 +42,7 @@ def extrapolate_hole_phase(
     re_in: jax.Array,
     im_in: jax.Array,
     shape: tuple[int, ...],
+    bidirectional: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Phase-vocoder init for the hole: (re0, im0) unit phasors.
 
@@ -66,7 +67,71 @@ def extrapolate_hole_phase(
     fmask: (..., F, 1) or (..., F, n_bins), 1 = observed; re_in/im_in:
     the input's complex STFT, broadcastable to `shape` = mag.shape
     (..., F, n_bins). Returns unit (re0, im0) of that shape.
+
+    bidirectional=True (default): also extrapolate BACKWARD from the
+    hole's right boundary (a pure time-flip of the forward pass — the
+    flipped-domain rotor S[t0]·conj(S[t0+1]) = conj(ρ) encodes the
+    −Δφ-per-hop reverse advance automatically) and blend the two unit
+    phasors weighted by proximity to each boundary, renormalized. A
+    one-sided extrapolation leaves a phase seam at the far boundary
+    that GL must spend iterations repairing; anchoring both ends
+    matters most for long gaps. Falls back to whichever side exists.
     """
+    if bidirectional:
+        def flip(x):
+            return jnp.flip(x, axis=-2)
+
+        fre, fim = extrapolate_hole_phase(fmask, re_in, im_in, shape,
+                                          bidirectional=False)
+        bre, bim = extrapolate_hole_phase(
+            flip(jnp.broadcast_to(fmask, shape)),
+            flip(jnp.broadcast_to(re_in, shape)),
+            flip(jnp.broadcast_to(im_in, shape)),
+            shape, bidirectional=False,
+        )
+        bre, bim = flip(bre), flip(bim)
+        # Distance to the nearest observed frame on each side (cumsum
+        # of the hole indicator, reset at observed frames — reuse the
+        # take-last-valid trick on frame indices).
+        f32 = jnp.float32
+        obs = jnp.broadcast_to(fmask.astype(f32), shape)
+        F = shape[-2]
+        t_idx = jnp.broadcast_to(
+            jnp.arange(F, dtype=f32)[:, None], shape)
+
+        def comb(a, b):
+            av, aval = a
+            bv, bval = b
+            return jnp.where(bval > 0, bv, av), jnp.maximum(aval, bval)
+
+        t0, ok_f = jax.lax.associative_scan(
+            comb, (t_idx * obs, obs), axis=-2)
+        t1r, ok_b = jax.lax.associative_scan(
+            comb, (jnp.flip((F - 1.0 - t_idx) * obs, -2),
+                   jnp.flip(obs, -2)), axis=-2)
+        t1 = F - 1.0 - jnp.flip(t1r, -2)
+        ok_b = jnp.flip(ok_b, -2)
+        d_f = jnp.maximum(t_idx - t0, 0.0)          # dist from left obs
+        d_b = jnp.maximum(t1 - t_idx, 0.0)          # dist to right obs
+        # Closer boundary gets the larger weight; one-sided where the
+        # other anchor is missing.
+        w_f = jnp.where(ok_f > 0, d_b + 1.0, 0.0)
+        w_b = jnp.where(ok_b > 0, d_f + 1.0, 0.0)
+        tot = w_f + w_b
+        w_f = jnp.where(tot > 0, w_f / jnp.maximum(tot, 1e-6), 0.0)
+        w_b = jnp.where(tot > 0, w_b / jnp.maximum(tot, 1e-6), 0.0)
+        zre = w_f * fre + w_b * bre
+        zim = w_f * fim + w_b * bim
+        # Antiphase cancellation → keep the nearer side instead of a
+        # degenerate near-zero blend.
+        small = (zre * zre + zim * zim) < 1e-4
+        nearer_f = (w_f >= w_b)
+        zre = jnp.where(small, jnp.where(nearer_f, fre, bre), zre)
+        zim = jnp.where(small, jnp.where(nearer_f, fim, bim), zim)
+        re0, im0 = _unit(zre, zim)
+        re0 = jnp.where(tot > 0, re0, 1.0)
+        im0 = jnp.where(tot > 0, im0, 0.0)
+        return re0, im0
     f32 = jnp.float32
     obs = jnp.broadcast_to(fmask.astype(f32), shape)
     re_in = jnp.broadcast_to(re_in.astype(f32), shape)
@@ -129,6 +194,7 @@ def griffin_lim(
     key: jax.Array | None = None,
     observed: tuple[jax.Array, jax.Array, jax.Array] | None = None,
     phase_init: str = "zero",
+    init: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """(..., F, n_bins) magnitude → (..., T) waveform.
 
@@ -144,7 +210,8 @@ def griffin_lim(
     phase_init: "zero" (librosa default) or "extrapolate" (requires
     `observed`): seed the hole with phase-vocoder extrapolation from the
     boundary (see extrapolate_hole_phase) so GL refines a consistent
-    guess instead of a 0° restart.
+    guess instead of a 0° restart. `init=(re0, im0)` overrides with an
+    explicit unit-phasor field (experiments/ablations).
     """
     mag = mag.astype(jnp.float32)
     if observed is not None:
@@ -154,7 +221,10 @@ def griffin_lim(
         obs_re = fmask * re_in.astype(jnp.float32)
         obs_im = fmask * im_in.astype(jnp.float32)
         mag = (1.0 - fmask) * mag
-    if phase_init == "extrapolate":
+    if init is not None:
+        re = jnp.broadcast_to(init[0].astype(jnp.float32), mag.shape)
+        im = jnp.broadcast_to(init[1].astype(jnp.float32), mag.shape)
+    elif phase_init == "extrapolate":
         if observed is None:
             raise ValueError("phase_init='extrapolate' requires observed=")
         re, im = extrapolate_hole_phase(fmask, re_in, im_in, mag.shape)
