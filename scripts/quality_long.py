@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--long_gap", action="store_true",
                     help="long-gap config: multi-res input, 75-150 frame "
                          "masks (BASELINE config 3)")
+    ap.add_argument("--model", type=str, default="audio",
+                    choices=["audio", "av"],
+                    help="av: vision-infused (synthetic AV pool with "
+                         "frames; ~25 MB/batch of frames on device)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -62,7 +66,9 @@ def main():
     opt = TrainOptions().parse([
         "--name", args.name,
         "--checkpoints_dir", args.checkpoints_dir,
-        "--dataset_mode", "synthetic",
+        "--model", args.model,
+        "--dataset_mode",
+        "synthetic_av" if args.model == "av" else "synthetic",
         "--batchSize", str(args.batch),
         "--dtype", "bfloat16",
         "--hole_weight", str(args.hole_weight),
@@ -75,22 +81,32 @@ def main():
     model = VIAIModel(opt)
 
     # Device-resident clip pool, uploaded once.
-    it = SyntheticBatchIterator(SyntheticConfig(), batch=args.batch,
-                                seed=args.seed + 1)
+    use_av = args.model == "av"
+    it = SyntheticBatchIterator(
+        SyntheticConfig(with_video=use_av), batch=args.batch,
+        seed=args.seed + 1,
+    )
     gen = iter(it)
-    pool = [jax.device_put(np.asarray(next(gen)["wav"]))
-            for _ in range(args.pool_batches)]
+    pool = []
+    for _ in range(args.pool_batches):
+        b = next(gen)
+        item = (jax.device_put(np.asarray(b["wav"])),
+                jax.device_put(np.asarray(b["frames"])) if use_av else None,
+                jax.device_put(np.asarray(b["frames_valid"], np.float32))
+                if use_av else None)
+        pool.append(item)
     it.close()
-    print(f"pool: {args.pool_batches} x {args.batch} clips on device",
-          flush=True)
+    print(f"pool: {args.pool_batches} x {args.batch} clips on device"
+          f"{' (+frames)' if use_av else ''}", flush=True)
 
     key = jax.random.key(args.seed + 2)
     t0 = time.perf_counter()
     losses = {}
     for i in range(args.steps):
         key, sub = jax.random.split(key)
+        wav_i, fr_i, fv_i = pool[i % args.pool_batches]
         model.state, losses = model.train_step(
-            model.state, pool[i % args.pool_batches], None, sub, None
+            model.state, wav_i, fr_i, sub, fv_i
         )
         step = i + 1
         if step % 500 == 0:
@@ -106,6 +122,7 @@ def main():
     rec = {
         "exp": "quality_long", "steps": args.steps, "batch": args.batch,
         "hole_weight": args.hole_weight, "long_gap": args.long_gap,
+        "model": args.model,
         "pool_clips": args.pool_batches * args.batch,
         "final_l1": round(float(losses["loss_G_L1"]), 6),
         "train_clips_per_s": round(args.steps * args.batch / dt, 1),
