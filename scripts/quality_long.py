@@ -49,6 +49,10 @@ def main():
                     choices=["audio", "av"],
                     help="av: vision-infused (synthetic AV pool with "
                          "frames; ~25 MB/batch of frames on device)")
+    ap.add_argument("--notes", action="store_true",
+                    help="polyphonic note-event corpus (onsets/decays/"
+                         "chords) instead of the sustained-harmonic "
+                         "default — the harder inpainting task")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -68,7 +72,8 @@ def main():
         "--checkpoints_dir", args.checkpoints_dir,
         "--model", args.model,
         "--dataset_mode",
-        "synthetic_av" if args.model == "av" else "synthetic",
+        ("synthetic_av" if args.model == "av" else "synthetic")
+        + ("_notes" if args.notes else ""),
         "--batchSize", str(args.batch),
         "--dtype", "bfloat16",
         "--hole_weight", str(args.hole_weight),
@@ -83,8 +88,9 @@ def main():
     # Device-resident clip pool, uploaded once.
     use_av = args.model == "av"
     it = SyntheticBatchIterator(
-        SyntheticConfig(with_video=use_av), batch=args.batch,
-        seed=args.seed + 1,
+        SyntheticConfig(with_video=use_av,
+                        style="notes" if args.notes else "harmonic"),
+        batch=args.batch, seed=args.seed + 1,
     )
     gen = iter(it)
     pool = []
@@ -122,7 +128,7 @@ def main():
     rec = {
         "exp": "quality_long", "steps": args.steps, "batch": args.batch,
         "hole_weight": args.hole_weight, "long_gap": args.long_gap,
-        "model": args.model,
+        "model": args.model, "notes": args.notes,
         "pool_clips": args.pool_batches * args.batch,
         "final_l1": round(float(losses["loss_G_L1"]), 6),
         "train_clips_per_s": round(args.steps * args.batch / dt, 1),
