@@ -107,3 +107,47 @@ def test_load_frames_for_uses_native_for_npy(npy_stack, monkeypatch):
 def test_missing_file_raises():
     with pytest.raises(ValueError):
         load_frames("/nonexistent/nope.npy", 4, 8)
+
+
+def test_truncated_avi_chunk_skipped(tmp_path):
+    """A frame chunk whose declared size is smaller than a full frame
+    (e.g. the last chunk of a cut-short file) must be dropped, not read
+    out of bounds (ADVICE r2 medium #1) — native output then matches the
+    Python resample over the surviving frames."""
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (4, 16, 16, 3), np.uint8)
+    path = str(tmp_path / "trunc.avi")
+    write_avi(path, frames, fps=8)
+    buf = bytearray(open(path, "rb").read())
+    import struct
+
+    # Patch the LAST real 00dc chunk's size field to half a frame
+    # (match tag+size so idx1 index entries are not mistaken for chunks).
+    frame_bytes = 16 * 16 * 4
+    last = buf.rfind(b"00dc" + struct.pack("<I", frame_bytes))
+    assert last > 0
+    struct.pack_into("<I", buf, last + 4, frame_bytes // 2)
+    open(path, "wb").write(bytes(buf))
+    nat = load_frames(path, 3, 16, (0.0, 1.0))
+    py = _resample_frames(frames[:3], 3, 16, (0.0, 1.0))
+    np.testing.assert_allclose(nat, py, atol=1.5 / 255.0)
+
+
+def test_all_chunks_truncated_errors(tmp_path):
+    """If every frame chunk is undersized the native path returns an
+    error code (→ ValueError) instead of reading past the buffer."""
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, (2, 8, 8, 3), np.uint8)
+    path = str(tmp_path / "allshort.avi")
+    write_avi(path, frames, fps=8)
+    buf = bytearray(open(path, "rb").read())
+    import struct
+
+    sig = b"00dc" + struct.pack("<I", 8 * 8 * 4)
+    pos = buf.find(sig)
+    while pos != -1:
+        struct.pack_into("<I", buf, pos + 4, 8)
+        pos = buf.find(sig, pos + 4)
+    open(path, "wb").write(bytes(buf))
+    with pytest.raises(ValueError):
+        load_frames(path, 2, 8, (0.0, 1.0))

@@ -50,7 +50,12 @@ def _load():
     if _lib is not None:
         return _lib
     if (not os.path.exists(_SO) or _stale()) and not _build():
-        return None
+        # A stale-but-loadable .so beats no native path at all (e.g. a
+        # toolchain-less host after a pull touched a .cpp): keep it and
+        # rely on the hasattr() guards for any missing new symbols
+        # (ADVICE r2 low #3).
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

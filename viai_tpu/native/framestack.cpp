@@ -25,6 +25,7 @@
 // normalized. Pillow quantizes the intermediate pass to uint8; we stay
 // in float, so outputs agree to ~2/255 (pinned by test).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -32,6 +33,7 @@
 #include <cmath>
 #include <string>
 #include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -47,8 +49,8 @@ struct Stack {
   int64_t T = 0, H = 0, W = 0;
   // npy: frame t starts at base + t*H*W*3
   const uint8_t* npy_base = nullptr;
-  // avi: per-frame payload offsets into `file`
-  std::vector<size_t> avi_frames;
+  // avi: per-frame (payload offset, payload size) into `file`
+  std::vector<std::pair<size_t, uint32_t>> avi_frames;
   bool avi_rgba32 = false;         // else DIB24 bottom-up BGR
 };
 
@@ -168,22 +170,38 @@ int parse_avi(Stack& s) {
       } else if ((std::memcmp(tag, "00dc", 4) == 0 ||
                   std::memcmp(tag, "00db", 4) == 0) &&
                  size > 0) {
-        s.avi_frames.push_back(body);
+        s.avi_frames.push_back({body, size});
       }
       pos = body + size + (size & 1);
     }
   }
   if (!have_vids || s.W <= 0 || s.H == 0) return -21;
-  if (s.H < 0) s.H = -s.H;                       // top-down DIB sign
   uint32_t rgba;
   std::memcpy(&rgba, "RGBA", 4);
   if (comp == rgba && bits == 32) {
     s.avi_rgba32 = true;
   } else if (comp == 0 && bits == 24) {
+    // Negative biHeight means a top-down DIB; get_frame decodes DIB24
+    // bottom-up only, so punt to the Python/cv2 fallback rather than
+    // silently producing vertically flipped frames (ADVICE r2 low #2).
+    if (s.H < 0) return -22;
     s.avi_rgba32 = false;
   } else {
     return -22;                                  // compressed → fallback
   }
+  if (s.H < 0) s.H = -s.H;                       // top-down sign (RGBA32)
+  // Drop truncated frame chunks (e.g. a cut-short file) so get_frame
+  // never reads past the payload — mirrors the len() checks in the
+  // Python read_avi path this fast path replaces (ADVICE r2 medium #1).
+  size_t need = s.avi_rgba32
+                    ? (size_t)s.H * s.W * 4
+                    : ((size_t)s.W * 3 + 3) / 4 * 4 * (size_t)s.H;
+  s.avi_frames.erase(
+      std::remove_if(s.avi_frames.begin(), s.avi_frames.end(),
+                     [need](const std::pair<size_t, uint32_t>& f) {
+                       return (size_t)f.second < need;
+                     }),
+      s.avi_frames.end());
   s.T = (int64_t)s.avi_frames.size();
   return s.T > 0 ? 0 : -23;
 }
@@ -194,7 +212,7 @@ void get_frame(const Stack& s, int64_t t, FrameSource& fs) {
     fs.rgb = s.npy_base + (size_t)t * s.H * s.W * 3;
     return;
   }
-  const uint8_t* payload = s.file.data() + s.avi_frames[(size_t)t];
+  const uint8_t* payload = s.file.data() + s.avi_frames[(size_t)t].first;
   fs.owned.resize((size_t)(s.H * s.W * 3));
   if (s.avi_rgba32) {
     // top-down RGBA rows
