@@ -75,6 +75,11 @@ class BaseOptions:
                             "(0.5, pix2pix recipe; training only — "
                             "inference is always deterministic)")
         p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--bottleneck_dilation", type=str, default="",
+                       help="comma-separated temporal dilation rates for "
+                            "residual (1x3) convs at the U-Net bottleneck "
+                            "(e.g. '1,2,4'); architecture flag — must "
+                            "match between train and test")
         # --- TPU rebuild additions ---
         p.add_argument("--sample_rate", type=int, default=16000)
         p.add_argument("--clip_seconds", type=float, default=2.0)
@@ -173,6 +178,11 @@ class TrainOptions(BaseOptions):
                        help="use vanilla GAN loss instead of LSGAN")
         p.add_argument("--lambda_L1", type=float, default=100.0)
         p.add_argument("--hole_weight", type=float, default=1.0)
+        p.add_argument("--lambda_sc", type=float, default=0.0,
+                       help="hole spectral-convergence weight (linear-"
+                            "magnitude Frobenius; onset-energy term)")
+        p.add_argument("--lambda_onset", type=float, default=0.0,
+                       help="spectral-flux (time-derivative) L1 weight")
         p.add_argument("--pool_size", type=int, default=0)
         p.add_argument("--lr_policy", type=str, default="lambda",
                        choices=["lambda", "step", "plateau", "cosine",

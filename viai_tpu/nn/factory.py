@@ -29,11 +29,13 @@ def define_G(
     init_type: str = "normal",
     init_gain: float = 0.02,
     dropout: float = 0.0,
+    bottleneck_dilation: tuple[int, ...] = (),
 ) -> UNetGenerator:
     cfg = GeneratorConfig(
         in_channels=input_nc, out_channels=output_nc, ngf=ngf,
         norm=norm, dtype=_DTYPES[dtype], upsample=upsample,
         init_type=init_type, init_gain=init_gain, dropout=dropout,
+        bottleneck_dilation=tuple(bottleneck_dilation),
     )
     return UNetGenerator(cfg, nnx.Rngs(seed), fusion_channels=fusion_channels)
 

@@ -56,6 +56,12 @@ class GeneratorConfig:
     # inference stays deterministic and no RNG state enters the
     # optimizer-visible param pytree.
     dropout: float = 0.0
+    # Temporal dilation rates for residual (1x3) convs at the bottleneck
+    # (after fusion). () = off. E.g. (1, 2, 4) spans ±7 bottleneck steps
+    # ≈ ±112 input frames — wide enough to see both gap edges of even a
+    # long-gap hole, targeting onset placement inside the hole
+    # (round-2 VERDICT next-round #2: the notes-corpus limiter).
+    bottleneck_dilation: tuple[int, ...] = ()
 
 
 class InstanceNorm(nnx.Module):
@@ -190,6 +196,32 @@ class UpBlock(nnx.Module):
         return nnx.relu(self.norm(self.conv(x)))
 
 
+class DilatedTimeBlock(nnx.Module):
+    """Residual (1x3) conv dilated along TIME at the bottleneck.
+
+    The encoder's 4x4/stride-2 stack gives the (B, 4, 16, 8·ngf)
+    bottleneck only a modest temporal receptive field per position; a
+    hole spanning many frames then gets filled from mostly-local
+    context, which blurs onset timing. Dilation over the time axis
+    widens the field exponentially with depth at negligible FLOPs
+    (the (1,3) conv is 8·ngf x 8·ngf x 3 — MXU-friendly). Residual form
+    keeps the block identity-initializable-safe for finetuning.
+    """
+
+    def __init__(self, ch, dilation, norm, dtype, rngs: nnx.Rngs,
+                 kernel_init=None):
+        kw = {"kernel_init": kernel_init} if kernel_init else {}
+        self.conv = nnx.Conv(
+            ch, ch, kernel_size=(1, 3), padding="SAME",
+            kernel_dilation=(1, dilation), dtype=dtype,
+            param_dtype=jnp.float32, rngs=rngs, **kw,
+        )
+        self.norm = _norm(norm, ch, dtype, rngs)
+
+    def __call__(self, x):
+        return x + nnx.relu(self.norm(self.conv(x)))
+
+
 class UNetGenerator(nnx.Module):
     """Spectrogram inpainting U-Net; bottleneck exposes a time axis.
 
@@ -224,6 +256,11 @@ class UNetGenerator(nnx.Module):
                 dtype=dt, param_dtype=jnp.float32, rngs=rngs,
                 kernel_init=kinit,
             )
+        self.bott_blocks = nnx.List([])
+        for d in cfg.bottleneck_dilation:
+            self.bott_blocks.append(DilatedTimeBlock(
+                bott, d, norm, dt, rngs, kernel_init=kinit,
+            ))
         self.ups = nnx.List([])
         up_in = bott
         for i, s in reversed(list(enumerate(cfg.strides))):
@@ -258,6 +295,8 @@ class UNetGenerator(nnx.Module):
                 f[:, None, :, :], (f.shape[0], h.shape[1], *f.shape[1:])
             )
             h = self.fuse(jnp.concatenate([h, f], axis=-1))
+        for blk in self.bott_blocks:
+            h = blk(h)
         use_drop = self.cfg.dropout > 0.0 and dropout_key is not None
         for i, blk in enumerate(self.ups):
             h = blk(h)

@@ -60,3 +60,47 @@ def masked_l1_loss(pred, target, keep_mask, hole_weight: float = 1.0,
     err = jnp.abs(pred - target)
     w = keep_mask * context_weight + (1.0 - keep_mask) * hole_weight
     return jnp.sum(err * w) / (jnp.sum(w) + 1e-8)
+
+
+def hole_spectral_convergence_loss(pred_mag, target_mag, keep_mask):
+    """Spectral convergence restricted to the hole, on LINEAR magnitude.
+
+    ‖(1−m)·(|S_pred| − |S_tgt|)‖_F / ‖(1−m)·|S_tgt|‖_F, mean over batch.
+
+    Why (round-2 VERDICT "next round" #2): the notes-corpus plateau was
+    attributed to onset prediction inside the hole. The L1 term runs in
+    the COMPRESSED (log-like) domain, which deliberately flattens level
+    differences — a missed 0 dB attack and a missed −40 dB tail cost
+    about the same. Frobenius error on linear magnitude, normalized by
+    the hole's own energy, re-weights the objective toward exactly the
+    high-energy structure (attacks/onsets) the compressed L1 is blind
+    to, per-clip, scale-invariantly.
+
+    pred_mag/target_mag: (B, bins, T) linear magnitudes; keep_mask
+    (B, bins, T) with 1 = observed, 0 = hole.
+    """
+    hole = 1.0 - keep_mask
+    axes = tuple(range(1, pred_mag.ndim))
+    num = jnp.sqrt(jnp.sum((hole * (pred_mag - target_mag)) ** 2, axis=axes))
+    den = jnp.sqrt(jnp.sum((hole * target_mag) ** 2, axis=axes))
+    return jnp.mean(num / jnp.maximum(den, 1e-6))
+
+
+def onset_l1_loss(pred, target, keep_mask, hole_weight: float = 1.0):
+    """L1 on the TIME-DERIVATIVE of the (compressed) spectrogram image.
+
+    Spectral flux Δ_t S = S[..., t+1] − S[..., t] is the classic onset
+    signal; matching it forces the generator to place attacks at the
+    right frames instead of emitting the time-blurred average that bare
+    L1 rewards. A frame-pair straddling the hole boundary counts as
+    hole (min of the two masks) so the entry/exit transients — the
+    audibly critical ones — are always covered.
+
+    pred/target: (B, bins, T, C) compressed images; keep_mask same
+    shape (broadcastable), 1 = observed.
+    """
+    dp = pred[..., 1:, :] - pred[..., :-1, :]
+    dt = target[..., 1:, :] - target[..., :-1, :]
+    m = jnp.minimum(keep_mask[..., 1:, :], keep_mask[..., :-1, :])
+    w = m + (1.0 - m) * hole_weight
+    return jnp.sum(jnp.abs(dp - dt) * w) / (jnp.sum(w) + 1e-8)
