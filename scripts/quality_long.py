@@ -54,6 +54,10 @@ def main():
                          "chords) instead of the sustained-harmonic "
                          "default — the harder inpainting task")
     ap.add_argument("--seed", type=int, default=0)
+    # Onset-limiter levers (round-3): see nn/losses.py + generator.py.
+    ap.add_argument("--lambda_sc", type=float, default=0.0)
+    ap.add_argument("--lambda_onset", type=float, default=0.0)
+    ap.add_argument("--bottleneck_dilation", type=str, default="")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +86,9 @@ def main():
         "--niter_decay", "1",
         "--steps_per_epoch", str(args.milestone),
         "--seed", str(args.seed),
+        "--lambda_sc", str(args.lambda_sc),
+        "--lambda_onset", str(args.lambda_onset),
+        "--bottleneck_dilation", args.bottleneck_dilation,
     ] + (["--long_gap"] if args.long_gap else []))
     model = VIAIModel(opt)
 
@@ -129,6 +136,8 @@ def main():
         "exp": "quality_long", "steps": args.steps, "batch": args.batch,
         "hole_weight": args.hole_weight, "long_gap": args.long_gap,
         "model": args.model, "notes": args.notes,
+        "lambda_sc": args.lambda_sc, "lambda_onset": args.lambda_onset,
+        "bottleneck_dilation": args.bottleneck_dilation,
         "pool_clips": args.pool_batches * args.batch,
         "final_l1": round(float(losses["loss_G_L1"]), 6),
         "train_clips_per_s": round(args.steps * args.batch / dt, 1),

