@@ -130,3 +130,63 @@ def test_dp_adam_loss_trajectory_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0, atol=6e-3
         )
+
+
+def test_model_axis_param_sharding_matches_replicated():
+    """Params sharded over the 'model' axis (the opt-in BASELINE
+    config-5 mode) produce bit-compatible training with replicated DP:
+    placement changes, math doesn't. Mesh (4 data x 2 model) vs
+    (4 data x 1). SGD so the comparison is exact up to fp32
+    reduction-order noise (see the Adam test's rationale)."""
+    import optax
+
+    from viai_tpu.train import shard_params
+
+    def run(n_model):
+        mesh = make_mesh(4, n_model=n_model)
+        G, D, V = _tiny_models(seed=0)
+        tx = optax.with_extra_args_support(optax.sgd(0.05))
+        (g_def, d_def, v_def), state = init_state(G, D, V, tx, tx)
+        state = (shard_params(state, mesh, min_shard=1) if n_model > 1
+                 else replicate(state, mesh))
+        step = make_train_step(g_def, d_def, v_def, tx, tx, TINY_CFG)
+        wav = jnp.asarray(_wav(8))
+        key = jax.random.key(3)
+        with jax.set_mesh(mesh):
+            for _ in range(2):
+                key, sub = jax.random.split(key)
+                w = jax.device_put(wav, NamedSharding(mesh, P("data")))
+                state, metrics = step(state, w, None, sub)
+        return state, jax.tree.map(float, metrics)
+
+    s_rep, m_rep = run(1)
+    s_shard, m_shard = run(2)
+    for k in m_rep:
+        np.testing.assert_allclose(m_rep[k], m_shard[k], rtol=2e-4,
+                                   atol=2e-5)
+    for a, b in zip(jax.tree.leaves(s_rep["g"]),
+                    jax.tree.leaves(s_shard["g"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_shard_params_actually_shards():
+    """At least the big conv kernels must land sharded over 'model'
+    (8 devices see 1/2 of the last axis each on a (4,2) mesh), and the
+    Adam moments inherit the same placement."""
+    from viai_tpu.train import adam as _adam, shard_params
+
+    mesh = make_mesh(4, n_model=2)
+    G, D, V = _tiny_models(seed=0)
+    g_tx, d_tx = _adam(2e-4), _adam(2e-4)
+    _, state = init_state(G, D, V, g_tx, d_tx)
+    state = shard_params(state, mesh, min_shard=1)
+    n_sharded = 0
+    for leaf in jax.tree.leaves(state["g"]) + jax.tree.leaves(
+            state["g_opt"]):
+        shards = {s.data.shape for s in leaf.addressable_shards}
+        if len(leaf.shape) and leaf.shape[-1] % 2 == 0:
+            want = leaf.shape[:-1] + (leaf.shape[-1] // 2,)
+            assert shards == {want}, (leaf.shape, shards)
+            n_sharded += 1
+    assert n_sharded >= 8  # conv kernels + biases + m/v moments

@@ -131,6 +131,12 @@ class BaseOptions:
                             "(less activation memory, ~30%% more FLOPs)")
         p.add_argument("--n_data_devices", type=int, default=0,
                        help="data-parallel mesh size; 0 = all devices")
+        p.add_argument("--n_model_devices", type=int, default=1,
+                       help="shard G/D/V params (+ Adam moments) over "
+                            "the reserved 'model' mesh axis — the "
+                            "opt-in param-sharding mode of BASELINE "
+                            "config 5; 1 = replicated params (default). "
+                            "Total devices used = n_data * n_model")
         self.initialized = True
 
     def parse(self, args=None, save=True):

@@ -38,6 +38,7 @@ from .train import (
     plateau_kwargs,
     plateau_scale,
     replicate,
+    shard_params,
 )
 
 
@@ -136,8 +137,17 @@ class VIAIModel:
             G, D, V, self.g_tx, self.d_tx, self.cfg
         )
         n_data = getattr(opt, "n_data_devices", 0) or None
-        self.mesh = make_mesh(n_data)
-        self.state = replicate(self.state, self.mesh)
+        n_model = max(getattr(opt, "n_model_devices", 1), 1)
+        self.mesh = make_mesh(n_data, n_model=n_model)
+        # Opt-in param sharding over the 'model' axis (BASELINE config
+        # 5's "G + D sharded over ICI"); numerics identical to
+        # replicated DP — tests/test_sharding.py pins it. The same
+        # placement is reapplied on checkpoint load.
+        self._place_state = (
+            (lambda t: shard_params(t, self.mesh)) if n_model > 1
+            else (lambda t: replicate(t, self.mesh))
+        )
+        self.state = self._place_state(self.state)
         self._batch_sharding = NamedSharding(self.mesh, P("data"))
 
         if self.isTrain:
@@ -301,15 +311,15 @@ class VIAIModel:
             restored = load_train_state(
                 jax.device_get(self.state), which_epoch, self.expr_dir
             )
-            self.state = replicate(restored, self.mesh)
+            self.state = self._place_state(restored)
             return
         except Exception:
             # .pth-only checkpoint (e.g. exported/foreign): params only.
             loaded = load_networks(self._nets(), which_epoch, self.expr_dir)
-            self.state["g"] = replicate(loaded["G"], self.mesh)
-            self.state["d"] = replicate(loaded["D"], self.mesh)
+            self.state["g"] = self._place_state(loaded["G"])
+            self.state["d"] = self._place_state(loaded["D"])
             if "V" in loaded:
-                self.state["v"] = replicate(loaded["V"], self.mesh)
+                self.state["v"] = self._place_state(loaded["V"])
 
 
 def create_model(opt) -> VIAIModel:

@@ -50,6 +50,40 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_params(tree, mesh: Mesh, min_shard: int = 8):
+    """Shard a param/opt-state pytree over the reserved 'model' axis.
+
+    The optional param-sharding mode of BASELINE config 5 [B:11]
+    ("generator + discriminator sharded over ICI"; SURVEY.md §2.2 TP
+    row — replicated DP is the default, this is the opt-in). Policy:
+    each leaf's LAST axis (conv HWIO output channels, bias features) is
+    sharded over 'model' when divisible by the axis size and at least
+    `min_shard` per device; everything else (scalars, tiny leaves) is
+    replicated. Gradients/optimizer moments inherit the same placement
+    because Adam's m/v mirror param shapes, so per-device optimizer
+    state and HBM scale down with the axis — a ZeRO-style memory win.
+    XLA/GSPMD inserts the all-gathers for forward use and the
+    reduce-scatters for gradients from sharding propagation alone; no
+    collective appears in model code, exactly like the DP psum.
+
+    Numerics are unchanged (same math, different placement) — pinned by
+    tests/test_sharding.py::test_model_axis_param_sharding.
+    """
+    n = mesh.shape["model"]
+    if n == 1:
+        return replicate(tree, mesh)
+    repl = replicated(mesh)
+
+    def place(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 1 and shape[-1] % n == 0 and shape[-1] // n >= min_shard:
+            spec = P(*([None] * (len(shape) - 1) + ["model"]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, tree)
+
+
 # ---------------------------------------------------------------------------
 # Multi-host (pod-scale) support — SURVEY.md §2.3 / BASELINE.json [B:11]:
 # "pod-scale data-parallel GAN training on v4-32". Same binary on every
