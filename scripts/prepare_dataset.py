@@ -7,6 +7,12 @@ frames (this environment has no network, so the download step is out
 of scope; this script handles everything after the media exists).
 
 Modes:
+  download  — fetch the clips named by a MUSICES-style YouTube-ID
+              manifest via yt-dlp (and trim via ffmpeg when segment
+              times are given). THIN WRAPPER, untestable in this
+              offline image (network blackholed, yt-dlp/ffmpeg not
+              installed) — command construction is pinned by test via
+              --dry_run; the subprocess path is best-effort.
   extract   — video files → 16 kHz mono wav + frame-stack .npy per clip
               (uncompressed AVI: zero-dep viai_tpu.data.avi demuxer,
               audio + frames; other containers: cv2 frames, audio only
@@ -163,6 +169,76 @@ def cmd_extract(args):
 from struct import error as struct_error  # noqa: E402
 
 
+def download_commands(manifest: dict | list, out: str,
+                      fmt: str = "mp4") -> list[list[str]]:
+    """YouTube-ID manifest → the yt-dlp (+ ffmpeg trim) command lines.
+
+    Accepts the MUSICES layouts: either a flat list or {"train": [...],
+    "test": [...]} where each entry is "VIDEO_ID" or
+    {"id": ..., "start": s, "end": s}. Returns argv lists; pure so the
+    construction is unit-testable in this offline image
+    (SURVEY.md §2.1 last row / round-2 VERDICT missing-tooling item).
+    """
+    entries = []
+    if isinstance(manifest, dict):
+        for split in ("train", "val", "test"):
+            entries += list(manifest.get(split, []))
+    else:
+        entries = list(manifest)
+    cmds = []
+    for e in entries:
+        if isinstance(e, str):
+            vid, start, end = e, None, None
+        else:
+            vid = e.get("id") or e.get("ytid") or e.get("video_id")
+            if vid is None:
+                continue
+            start, end = e.get("start"), e.get("end")
+        dst = os.path.join(out, f"{vid}.{fmt}")
+        cmd = ["yt-dlp", "-f", f"bestvideo[ext={fmt}]+bestaudio/best",
+               "--merge-output-format", fmt, "-o", dst,
+               f"https://www.youtube.com/watch?v={vid}"]
+        cmds.append(cmd)
+        if start is not None and end is not None:
+            trimmed = os.path.join(out, f"{vid}_trim.{fmt}")
+            cmds.append(["ffmpeg", "-y", "-i", dst, "-ss", str(start),
+                         "-to", str(end), "-c", "copy", trimmed])
+    return cmds
+
+
+def cmd_download(args):
+    """Run (or print) the download plan for a YouTube-ID manifest.
+
+    Untestable end-to-end here: the image has no network and no
+    yt-dlp/ffmpeg binaries. The plan construction is the testable part
+    (--dry_run); execution is a plain subprocess loop that reports
+    which tools are missing instead of stack-tracing.
+    """
+    import shutil
+    import subprocess
+
+    with open(args.manifest) as f:
+        manifest = json.load(f)
+    os.makedirs(args.out, exist_ok=True)
+    cmds = download_commands(manifest, args.out, fmt=args.format)
+    if args.dry_run:
+        for c in cmds:
+            print(" ".join(c))
+        print(f"# {len(cmds)} commands (dry run)")
+        return
+    missing = {c[0] for c in cmds if shutil.which(c[0]) is None}
+    if missing:
+        sys.exit(f"missing tools: {', '.join(sorted(missing))} — install "
+                 f"yt-dlp/ffmpeg or use --dry_run to export the plan")
+    failures = 0
+    for c in cmds:
+        if subprocess.run(c).returncode != 0:
+            failures += 1
+    print(f"{len(cmds) - failures}/{len(cmds)} commands succeeded")
+    if failures:
+        sys.exit(1)
+
+
 def cmd_manifest(args):
     entries = []
     for dirpath, _, files in os.walk(args.root):
@@ -205,6 +281,13 @@ def main():
     p.add_argument("--root", required=True)
     p.add_argument("--out", default=None)
     p.add_argument("--train_frac", type=float, default=0.9)
+    p = sub.add_parser("download")
+    p.add_argument("--manifest", required=True,
+                   help="MUSICES.json-style YouTube-ID manifest")
+    p.add_argument("--out", required=True)
+    p.add_argument("--format", default="mp4")
+    p.add_argument("--dry_run", action="store_true",
+                   help="print the yt-dlp/ffmpeg command plan only")
     p = sub.add_parser("extract")
     p.add_argument("--root", required=True)
     p.add_argument("--out", required=True)
@@ -217,7 +300,7 @@ def main():
     args = ap.parse_args()
     {"synthetic": cmd_synthetic, "audio": cmd_audio,
      "frames": cmd_frames, "manifest": cmd_manifest,
-     "extract": cmd_extract}[args.cmd](args)
+     "extract": cmd_extract, "download": cmd_download}[args.cmd](args)
 
 
 if __name__ == "__main__":

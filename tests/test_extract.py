@@ -119,3 +119,51 @@ def test_extract_to_train_e2e(tmp_path):
     state, metrics = step(state, jnp.asarray(batch["wav"]), frames8,
                           jax.random.key(0))
     assert np.isfinite(float(metrics["loss_G"]))
+
+
+def test_download_plan_construction(tmp_path):
+    """The download subcommand's yt-dlp/ffmpeg plan (the only part
+    testable in this offline image — SURVEY.md §2.1 last row)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "prepare_dataset",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "prepare_dataset.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    manifest = {
+        "train": ["abc123", {"id": "def456", "start": 3.0, "end": 9.5}],
+        "test": [{"ytid": "ghi789"}],
+    }
+    cmds = mod.download_commands(manifest, "/data", fmt="mp4")
+    assert [c[0] for c in cmds] == ["yt-dlp", "yt-dlp", "ffmpeg", "yt-dlp"]
+    assert cmds[0][-1].endswith("watch?v=abc123")
+    assert "/data/def456.mp4" in cmds[1]
+    trim = cmds[2]
+    assert trim[trim.index("-ss") + 1] == "3.0"
+    assert trim[trim.index("-to") + 1] == "9.5"
+    assert "/data/def456_trim.mp4" in trim
+    # Flat-list manifests work too.
+    assert len(mod.download_commands(["x"], "/d")) == 1
+
+
+def test_download_dry_run_cli(tmp_path, capsys):
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    mf = tmp_path / "m.json"
+    mf.write_text(_json.dumps(["vidA", "vidB"]))
+    r = subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "scripts",
+                      "prepare_dataset.py"),
+         "download", "--manifest", str(mf), "--out", str(tmp_path),
+         "--dry_run"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "vidA" in r.stdout and "2 commands (dry run)" in r.stdout
