@@ -53,6 +53,13 @@ def main():
                     help="polyphonic note-event corpus (onsets/decays/"
                          "chords) instead of the sustained-harmonic "
                          "default — the harder inpainting task")
+    ap.add_argument("--cue", action="store_true",
+                    help="vision-NECESSARY av_cue corpus: the hole is "
+                         "audio-ambiguous (one of two instruments "
+                         "continues) and only video disambiguates; "
+                         "mask is pinned to the corpus gap. Use with "
+                         "--model av vs --model audio for the fusion-"
+                         "edge comparison")
     ap.add_argument("--seed", type=int, default=0)
     # Onset-limiter levers (round-3): see nn/losses.py + generator.py.
     ap.add_argument("--lambda_sc", type=float, default=0.0)
@@ -76,8 +83,9 @@ def main():
         "--checkpoints_dir", args.checkpoints_dir,
         "--model", args.model,
         "--dataset_mode",
-        ("synthetic_av" if args.model == "av" else "synthetic")
-        + ("_notes" if args.notes else ""),
+        ("synthetic_av_cue" if args.cue else
+         ("synthetic_av" if args.model == "av" else "synthetic")
+         + ("_notes" if args.notes else "")),
         "--batchSize", str(args.batch),
         "--dtype", "bfloat16",
         "--hole_weight", str(args.hole_weight),
@@ -96,7 +104,8 @@ def main():
     use_av = args.model == "av"
     it = SyntheticBatchIterator(
         SyntheticConfig(with_video=use_av,
-                        style="notes" if args.notes else "harmonic"),
+                        style=("av_cue" if args.cue else
+                               "notes" if args.notes else "harmonic")),
         batch=args.batch, seed=args.seed + 1,
     )
     gen = iter(it)
@@ -135,7 +144,7 @@ def main():
     rec = {
         "exp": "quality_long", "steps": args.steps, "batch": args.batch,
         "hole_weight": args.hole_weight, "long_gap": args.long_gap,
-        "model": args.model, "notes": args.notes,
+        "model": args.model, "notes": args.notes, "cue": args.cue,
         "lambda_sc": args.lambda_sc, "lambda_onset": args.lambda_onset,
         "bottleneck_dilation": args.bottleneck_dilation,
         "pool_clips": args.pool_batches * args.batch,

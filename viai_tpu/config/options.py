@@ -47,10 +47,13 @@ class BaseOptions:
         p.add_argument("--dataset_mode", type=str, default="synthetic",
                        choices=["audio", "av", "musices", "synthetic",
                                 "synthetic_av", "synthetic_notes",
-                                "synthetic_av_notes"],
+                                "synthetic_av_notes", "synthetic_av_cue"],
                        help="*_notes = polyphonic note-event corpus "
                             "(onsets/decays/chords — harder than the "
-                            "sine-mixture default)")
+                            "sine-mixture default); synthetic_av_cue = "
+                            "vision-NECESSARY corpus (hole is audio-"
+                            "ambiguous, video disambiguates; pins the "
+                            "mask to the corpus' fixed gap)")
         p.add_argument("--nThreads", type=int, default=4)
         p.add_argument("--checkpoints_dir", type=str, default="./checkpoints")
         p.add_argument("--norm", type=str, default="instance",

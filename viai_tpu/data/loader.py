@@ -125,7 +125,9 @@ def create_dataloader(
             with_video="_av" in dataset_mode,
             video_frames=n_frames,
             video_size=frame_size,
-            style="notes" if dataset_mode.endswith("_notes") else "harmonic",
+            style=("av_cue" if dataset_mode.endswith("_cue")
+                   else "notes" if dataset_mode.endswith("_notes")
+                   else "harmonic"),
         )
         if prefer_native and shuffle and num_epochs is None:
             # Training fast path: vectorized threaded generator — the

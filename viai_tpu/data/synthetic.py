@@ -35,6 +35,15 @@ class SyntheticConfig:
     #   attack transients + a noise floor. Much harder inpainting:
     #   the hole can cover onsets/offsets, not just steady state
     #   (VERDICT.md round-1 missing #2: stress beyond sine mixtures).
+    # "av_cue": VISION-NECESSARY corpus (round-2 VERDICT next-round
+    #   #5): two instruments play outside a fixed hole; inside it
+    #   exactly one continues, chosen at random. The dropout event is
+    #   inset n_fft/2+hop from the hole edges so no OBSERVED STFT
+    #   frame's window touches a cue-dependent sample — from audio
+    #   alone the two continuations are exactly equally likely, and
+    #   only the video (the silent instrument's blob vanishes during
+    #   the gap) disambiguates. Train with mask fixed_start =
+    #   AV_CUE_GAP[0], gap length pinned to AV_CUE_GAP width.
     style: str = "harmonic"
     max_notes: int = 8
 
@@ -45,6 +54,103 @@ class SyntheticConfig:
 
 # Just-intonation-ish interval set for chord pitches (style="notes").
 _INTERVALS = np.array([1.0, 9 / 8, 5 / 4, 4 / 3, 3 / 2, 5 / 3, 15 / 8, 2.0])
+
+# av_cue hole, in spectrogram frames (hop 128, image_frames 256):
+# frames [103, 153) — a centered 50-frame (0.4 s) gap.
+AV_CUE_GAP = (103, 153)
+# Sample inset of the dropout event inside the hole: a frame at index f
+# windows samples [f*hop - n_fft/2, f*hop + n_fft/2); with the default
+# n_fft=510/hop=128 the last observed frame (102) sees up to sample
+# 102*128+255. Insetting by n_fft/2 + hop = 383 samples guarantees no
+# observed-frame window overlaps any cue-dependent sample.
+AV_CUE_INSET = 510 // 2 + 128
+
+
+def av_cue_dropout_span(sample_rate: int = 16000, hop: int = 128):
+    """The cue-dependent sample interval [start, end) of av_cue clips."""
+    return (AV_CUE_GAP[0] * hop + AV_CUE_INSET,
+            AV_CUE_GAP[1] * hop - AV_CUE_INSET)
+
+
+def _render_av_cue_clip(rng, cfg: SyntheticConfig, t: np.ndarray,
+                        cue_override: int | None = None):
+    """→ (wav, dict of per-instrument envelopes/pitches, cue).
+
+    Two harmonic instruments A/B with independent AM envelopes; outside
+    the dropout span both sound, inside only instrument `cue` continues
+    (25 ms raised-cosine edges, entirely inside the span). The rng draw
+    ORDER is fixed and cue is drawn LAST so cue_override reproduces the
+    identical scene with the other continuation (pinned by test:
+    audio-ambiguity = equality outside the span).
+    """
+    n = t.shape[0]
+    f0a = rng.uniform(110.0, 330.0)
+    ratio = rng.uniform(1.26, 1.78)
+    f0b = f0a * ratio
+    rate_a, rate_b = rng.uniform(0.5, 2.0, 2)
+    ph_a, ph_b = rng.uniform(0.0, 2 * np.pi, 2)
+    amps_a = rng.uniform(0.3, 1.0, cfg.n_harmonics) / np.arange(
+        1, cfg.n_harmonics + 1)
+    amps_b = rng.uniform(0.3, 1.0, cfg.n_harmonics) / np.arange(
+        1, cfg.n_harmonics + 1)
+    cue = int(rng.integers(0, 2))
+    if cue_override is not None:
+        cue = int(cue_override)
+
+    def voice(f0, amps):
+        w = np.zeros(n, np.float64)
+        for h in range(1, cfg.n_harmonics + 1):
+            w += amps[h - 1] * np.sin(2 * np.pi * h * f0 * t)
+        return w
+
+    env_a = 0.6 + 0.4 * np.sin(2 * np.pi * rate_a * t + ph_a)
+    env_b = 0.6 + 0.4 * np.sin(2 * np.pi * rate_b * t + ph_b)
+    wa = voice(f0a, amps_a) * env_a
+    wb = voice(f0b, amps_b) * env_b
+
+    s0, s1 = av_cue_dropout_span(cfg.sample_rate)
+    fade = int(0.025 * cfg.sample_rate)          # 25 ms edges
+    # gate: 1 outside the span, 0 inside, raised-cosine edges INSIDE it.
+    gate = np.ones(n)
+    idx = np.arange(n)
+    ramp_in = 0.5 * (1 + np.cos(np.pi * (idx - s0) / fade))
+    ramp_out = 0.5 * (1 - np.cos(np.pi * (idx - (s1 - fade)) / fade))
+    gate = np.where((idx >= s0) & (idx < s0 + fade), ramp_in, gate)
+    gate = np.where((idx >= s0 + fade) & (idx < s1 - fade), 0.0, gate)
+    gate = np.where((idx >= s1 - fade) & (idx < s1), ramp_out, gate)
+    keep_a = gate if cue == 1 else np.ones(n)    # cue=0 → A continues
+    keep_b = gate if cue == 0 else np.ones(n)
+    wav = (wa * keep_a + wb * keep_b).astype(np.float32)
+    # FIXED normalization (scene-level, cue-independent): per-max would
+    # leak the cue into the observed region's amplitude.
+    wav *= np.float32(0.5 / 2.4)                 # max |wa+wb| ≤ ~2.4
+    scene = {"f0a": f0a, "f0b": f0b, "env_a": env_a, "env_b": env_b,
+             "gate": gate, "s0": s0, "s1": s1}
+    return wav, scene, cue
+
+
+def _render_av_cue_video(cfg: SyntheticConfig, scene, cue, n):
+    """Two blobs (A left, B right), y = log-pitch, brightness = AM
+    envelope; during the dropout span the silent blob goes dark."""
+    T, S = cfg.video_frames, cfg.video_size
+    fidx = np.linspace(0, n - 1, T).astype(int)
+    in_gap = (fidx >= scene["s0"]) & (fidx < scene["s1"])
+    yy, xx = np.mgrid[0:S, 0:S]
+    frames = np.zeros((T, S, S, 3), np.float32)
+    for inst, (f0, env, xpos) in enumerate(
+            [(scene["f0a"], scene["env_a"], S // 4),
+             (scene["f0b"], scene["env_b"], 3 * S // 4)]):
+        y = np.clip(np.log2(f0 / 110.0) / 2.5 * (S - 8), 0, S - 8)
+        bright = env[fidx].copy()
+        bright[in_gap & (inst != cue)] = 0.0     # silent blob vanishes
+        blob = np.exp(-(((yy - y) ** 2
+                         + (xx - xpos) ** 2) / 18.0))[None]  # (1,S,S)
+        frames[..., 0] += blob * np.where(
+            in_gap & (inst != cue), 0.0, 1.0)[:, None, None]
+        frames[..., 1] += blob * bright[:, None, None]
+    frames[..., 2] = 0.2
+    return {"frames": np.clip(frames, 0.0, 1.0),
+            "frames_valid": np.float32(1.0)}
 
 
 def _draw_notes(rng, cfg: SyntheticConfig):
@@ -129,9 +235,9 @@ class SyntheticBatchIterator:
     # -- vectorized generation (values == SyntheticAVDataset) -------------
     def _gen(self, idx0: int) -> dict:
         cfg, B = self.cfg, self.batch
-        if cfg.style == "notes":
-            # Notes style is already (K, n)-vectorized per clip; the
-            # per-item path (~3 ms/clip) runs in this worker thread.
+        if cfg.style in ("notes", "av_cue"):
+            # These styles are cheap per clip; the per-item path
+            # (~3 ms/clip) runs in this worker thread.
             ds = SyntheticAVDataset(cfg)
             items = [ds[idx0 + b] for b in range(B)]
             out = {"wav": np.stack([it["wav"] for it in items])}
@@ -259,6 +365,12 @@ class SyntheticAVDataset:
         rng = np.random.default_rng((0xA11D10, int(idx)))
         n = cfg.clip_samples
         t = np.arange(n) / cfg.sample_rate
+        if cfg.style == "av_cue":
+            wav, scene, cue = _render_av_cue_clip(rng, cfg, t)
+            item = {"wav": wav}
+            if cfg.with_video:
+                item.update(_render_av_cue_video(cfg, scene, cue, n))
+            return item
         if cfg.style == "notes":
             wav, inst_f = _render_notes_clip(rng, cfg, t)
             env = _amp_envelope(wav)

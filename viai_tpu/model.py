@@ -47,12 +47,23 @@ def train_config_from_opt(opt) -> TrainConfig:
     min_gap, max_gap = opt.min_gap_frames, opt.max_gap_frames
     if long_gap and (min_gap, max_gap) == (25, 50):
         min_gap, max_gap = 75, 150  # long-gap defaults [B:9]
+    fixed_start = None
+    if getattr(opt, "dataset_mode", "").endswith("_cue"):
+        # av_cue corpus: the cue-dependent dropout event lives at a
+        # fixed clip position, so the mask must cover exactly that span
+        # (see data/synthetic.py AV_CUE_GAP). Overridable gap flags
+        # would break the corpus contract; pin them.
+        from .data.synthetic import AV_CUE_GAP
+
+        fixed_start = AV_CUE_GAP[0]
+        min_gap = max_gap = AV_CUE_GAP[1] - AV_CUE_GAP[0]
     return TrainConfig(
         stft=STFTConfig(n_fft=opt.n_fft, hop_length=opt.hop_length),
         mask=MaskConfig(
             min_gap_frames=min_gap,
             max_gap_frames=max_gap,
             num_gaps=opt.num_gaps,
+            fixed_start=fixed_start,
         ),
         multi_res=long_gap,
         image_frames=opt.image_frames,

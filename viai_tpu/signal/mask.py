@@ -26,6 +26,13 @@ class MaskConfig:
     min_gap_frames: int = 25    # ~0.2 s at hop 128 / 16 kHz
     max_gap_frames: int = 50    # ~0.4 s
     num_gaps: int = 1           # >1 → multiple disjointly-sampled gaps
+    # Pin the gap START to a constant frame (gap length still sampled
+    # in [min, max]); None = random position. Used by corpora whose
+    # ground TRUTH depends on the hole location (e.g. the audio-
+    # ambiguous 'av_cue' corpus, where the instrument-dropout event the
+    # model must reconstruct lives at a known clip position and the
+    # mask must cover it).
+    fixed_start: int | None = None
 
 
 def sample_time_mask(
@@ -40,7 +47,12 @@ def sample_time_mask(
         gap = jax.random.randint(
             klen, (), cfg.min_gap_frames, cfg.max_gap_frames + 1
         )
-        start = jax.random.randint(kpos, (), 0, jnp.maximum(n_frames - gap, 1))
+        if cfg.fixed_start is not None:
+            start = jnp.asarray(cfg.fixed_start)
+        else:
+            start = jax.random.randint(
+                kpos, (), 0, jnp.maximum(n_frames - gap, 1)
+            )
         mask = mask * jnp.where((t >= start) & (t < start + gap), 0.0, 1.0)
     return mask
 
