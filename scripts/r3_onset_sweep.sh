@@ -16,8 +16,7 @@ run_arm() {
     || return 1
   python test.py --name "$name" --checkpoints_dir "/tmp/r3_$name" \
     --results_dir "/tmp/r3_${name}_res" --dataset_mode synthetic_notes \
-    --how_many 16 --gl_backend pallas --which_epoch 10000 $test_extra \
-    2>&1 | tail -2
+    --how_many 16 --gl_backend pallas --which_epoch 10000 $test_extra
 }
 
 run_arm sc5   "--lambda_sc 5"                          ""

@@ -71,13 +71,18 @@ def main():
         mm_dt = _jnp.bfloat16 if "bf16mm" in parts else _jnp.float32
         ola = ("fused" if "fused" in parts
                else "split" if "split" in parts else "chain")
+        n_iter = 32
+        for p in parts:                     # e.g. gl_f32_pallas_fused_it64
+            if p.startswith("it") and p[2:].isdigit():
+                n_iter = int(p[2:])
 
         def gl_chain(w):
             mag = stft_magnitude(w, cfg)
             if use_pallas:
-                return griffin_lim_pallas(mag, cfg, n_iter=32, length=32000,
+                return griffin_lim_pallas(mag, cfg, n_iter=n_iter,
+                                          length=32000,
                                           matmul_dtype=mm_dt, ola_mode=ola)
-            return griffin_lim(mag, cfg, n_iter=32, length=32000)
+            return griffin_lim(mag, cfg, n_iter=n_iter, length=32000)
 
         f = jax.jit(gl_chain)
         cps, ms = chain_timed(f, wav, 20, batch)
