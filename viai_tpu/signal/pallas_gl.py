@@ -36,6 +36,17 @@ Kernel evolution, kept honest by TPU measurements
       writes — those alone measured 27 ms/call). No waveform buffer in
       the loop at all; the waveform is synthesized once at the end.
       Measured 40.5 ms vs v4's 55.2 ms / 128 clips GL×32 (+36%).
+  v8/v8b (round 3, REFUTED): merge the cos/sin DFT matmuls into
+      combined-basis matmuls — v8 one (2·n_bins, NW) synthesis (needs a
+      lane concat of the re|im operands) + one (NW, 2·n_bins) analysis;
+      v8b the analysis merge alone (no new in-kernel ops, split = lane
+      slice). Both passed interpret-mode parity but the TPU Mosaic
+      compile DID NOT TERMINATE within 7 min (v7 compiles the same
+      tiny shape in ~140 s, same session) — the v3 lesson again, now
+      pinned to the wide (·, 2·n_bins=512) matmul with sliced
+      consumers rather than to any layout op. Reverted; the working
+      diff is archived in the round-3 notes. The per-iteration MXU
+      dispatch count is therefore NOT the lever for the GL×64 floor.
 
 Semantics match griffin_lim.py exactly (librosa fast-GL): momentum
 m/(1+m), window-sum-square normalization, zero-phase init.
