@@ -121,6 +121,14 @@ class BaseOptions:
                             "hole-PSNR / +3.1 dB SNR with a trained G; "
                             "'auto' (default) = extrapolate under "
                             "phase-aware GL, zero with --no_phase_aware")
+        p.add_argument("--mag_sharpen", type=float, default=1.0,
+                       help="pre-GL spectral contrast exponent on the "
+                            "PREDICTED hole magnitude (gamma; 1.0 = off). "
+                            "Each hole frame is raised to gamma then "
+                            "rescaled to its original frame energy — "
+                            "sharpens G's over-smoothed long-gap "
+                            "magnitudes so GL locks onto fewer, stronger "
+                            "partials (SURVEY §3.5 long-gap lever)")
         p.add_argument("--gl_backend", type=str, default="xla",
                        choices=["xla", "pallas"],
                        help="Griffin-Lim impl: XLA ops or the "

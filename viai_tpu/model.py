@@ -171,6 +171,7 @@ class VIAIModel:
             n_gl_iter=getattr(opt, "gl_iters", 32),
             phase_aware=not getattr(opt, "no_phase_aware", False),
             phase_init=getattr(opt, "phase_init", "auto"),
+            mag_sharpen=getattr(opt, "mag_sharpen", 1.0),
         )
         self._key = jax.random.key(opt.seed)
         self._input = None

@@ -66,6 +66,7 @@ class InpaintService:
         mesh=None,
         phase_aware: bool = True,
         phase_init: str = "auto",
+        mag_sharpen: float = 1.0,
     ):
         """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
         bucket batch over the 'data' axis — DP serving across chips,
@@ -94,6 +95,7 @@ class InpaintService:
         self._infer = make_infer_fn(
             g_def, v_def, cfg, n_gl_iter=gl_iters, external_mask=True,
             phase_aware=phase_aware, phase_init=phase_init,
+            mag_sharpen=mag_sharpen,
         )
         self.stats = ServiceStats()
         import threading

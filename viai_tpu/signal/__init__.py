@@ -20,7 +20,8 @@ from .mask import (
     sample_batch_masks,
     sample_time_mask,
 )
-from .mel import apply_mel, compress, decompress, mel_filterbank
+from .mel import apply_mel, compress, decompress, mel_filterbank, \
+    sharpen_mag
 from .griffin_lim import griffin_lim
 from .pallas_gl import griffin_lim_pallas
 
@@ -43,4 +44,5 @@ __all__ = [
     "apply_mel",
     "compress",
     "decompress",
+    "sharpen_mag",
 ]

@@ -96,3 +96,24 @@ def compress(mag: jax.Array, ceiling: float = 6.0) -> jax.Array:
 def decompress(img: jax.Array, ceiling: float = 6.0) -> jax.Array:
     """[-1, 1] image → magnitude (inverse of `compress`)."""
     return jnp.expm1(jnp.clip((img + 1.0) * 0.5, 0.0, 1.0) * ceiling)
+
+
+def sharpen_mag(mag: jax.Array, gamma: float,
+                axis: int = -2) -> jax.Array:
+    """Energy-preserving spectral contrast sharpening.
+
+    Raises each magnitude to ``gamma`` then rescales every frame (the
+    ``axis`` dimension holds the frequency bins) so its L2 energy is
+    unchanged. gamma > 1 grows the strong partials relative to the weak
+    ones without altering loudness — a pre-Griffin-Lim conditioner for
+    the over-smooth magnitudes G predicts inside LONG holes, where GL
+    otherwise spreads phase across many near-equal smeared bins
+    (SURVEY.md §3.5; the long-gap waveform-SNR lever from round-2
+    VERDICT "what's weak" #2). gamma == 1 is the identity.
+    """
+    if gamma == 1.0:
+        return mag
+    p = jnp.power(jnp.maximum(mag, 0.0), gamma)
+    e0 = jnp.sum(jnp.square(mag), axis=axis, keepdims=True)
+    e1 = jnp.sum(jnp.square(p), axis=axis, keepdims=True)
+    return p * jnp.sqrt(e0 / (e1 + 1e-12))

@@ -36,7 +36,7 @@ from ..nn.losses import (
 )
 from ..signal.griffin_lim import griffin_lim
 from ..signal.mask import MaskConfig, sample_batch_masks
-from ..signal.mel import compress, decompress
+from ..signal.mel import compress, decompress, sharpen_mag
 from ..signal.stft import STFTConfig, stft, stft_magnitude
 from .pool import init_pool, query_pool
 
@@ -337,7 +337,8 @@ def init_state(G, D, V, g_tx, d_tx, cfg: TrainConfig | None = None):
 
 def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                   length: int | None = None, external_mask: bool = False,
-                  phase_aware: bool = True, phase_init: str = "auto"):
+                  phase_aware: bool = True, phase_init: str = "auto",
+                  mag_sharpen: float = 1.0):
     """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
 
     Full chain: STFT → mask → G inpaint → composite (observed region is
@@ -370,6 +371,14 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
     and on the product surface with a 15k-step G: +1.7 dB hole-PSNR /
     +3.1 dB SNR (BENCHMARKS.md quality table). "auto" (default) =
     extrapolate whenever phase_aware, zero otherwise.
+
+    mag_sharpen (gamma, 1.0 = off): energy-preserving contrast
+    sharpening of the PREDICTED magnitude before compositing — see
+    signal.mel.sharpen_mag. Only the hole is affected (the composite
+    keeps observed frames verbatim). A long-gap conditioner: G's
+    magnitudes inside 75–150-frame holes are over-smooth, and GL
+    distributes phase across the smear; gamma > 1 re-concentrates each
+    frame's energy onto its strongest partials at unchanged loudness.
     """
     if phase_init == "auto":
         phase_init = "extrapolate" if phase_aware else "zero"
@@ -389,6 +398,8 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
             feats = V(frames)
         fake = G(_g_input(batch), feats)
         fake_mag = decompress(fake[..., 0], cfg.compress_ceiling)
+        if mag_sharpen != 1.0:
+            fake_mag = sharpen_mag(fake_mag, mag_sharpen, axis=-2)
         real_masked = decompress(batch["masked_img"][..., 0],
                                  cfg.compress_ceiling)
         m = batch["mask_img"][..., 0]
