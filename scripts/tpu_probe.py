@@ -71,6 +71,7 @@ def main():
         mm_dt = _jnp.bfloat16 if "bf16mm" in parts else _jnp.float32
         ola = ("fused" if "fused" in parts
                else "split" if "split" in parts else "chain")
+        fola = "matmul" if "fout" in parts else "auto"
         n_iter = 32
         for p in parts:                     # e.g. gl_f32_pallas_fused_it64
             if p.startswith("it") and p[2:].isdigit():
@@ -81,7 +82,8 @@ def main():
             if use_pallas:
                 return griffin_lim_pallas(mag, cfg, n_iter=n_iter,
                                           length=32000,
-                                          matmul_dtype=mm_dt, ola_mode=ola)
+                                          matmul_dtype=mm_dt, ola_mode=ola,
+                                          final_ola=fola)
             return griffin_lim(mag, cfg, n_iter=n_iter, length=32000)
 
         f = jax.jit(gl_chain)

@@ -188,3 +188,49 @@ def test_auto_mode_selection():
                              interpret=True)  # ola_mode="auto"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_final_ola_matmul_matches_loop():
+    """v9 final OLA (frame-space emit + XLA reassembly) vs the v7
+    per-frame loop — same phase loop, only the LAST synthesis differs,
+    so agreement is fp32-summation-order tight."""
+    mag, n = _mag(batch=3, seed=9)
+    a = griffin_lim_pallas(mag, CFG, n_iter=2, length=n, interpret=True,
+                           ola_mode="fused", final_ola="loop")
+    b = griffin_lim_pallas(mag, CFG, n_iter=2, length=n, interpret=True,
+                           ola_mode="fused", final_ola="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_final_ola_matmul_product_config_with_observed():
+    """v9 on the real serving config (n_fft=510, hop=128) with the
+    phase-aware observed path, vs the jnp oracle."""
+    from viai_tpu.signal import stft
+
+    cfg = STFTConfig(n_fft=510, hop_length=128)
+    n = 128 * 10
+    rng = np.random.default_rng(12)
+    t = np.arange(n) / 16000
+    x = (0.4 * np.sin(2 * np.pi * rng.uniform(200, 800, (2, 1)) * t)
+         ).astype(np.float32)
+    mag = stft_magnitude(x, cfg)
+    re, im = stft(x, cfg)
+    fmask = np.ones((2, mag.shape[1], 1), np.float32)
+    fmask[:, 4:7] = 0.0
+    obs = (np.asarray(fmask), re, im)
+    a = griffin_lim_pallas(mag, cfg, n_iter=2, length=n, interpret=True,
+                           ola_mode="fused", final_ola="loop",
+                           observed=obs)
+    b = griffin_lim_pallas(mag, cfg, n_iter=2, length=n, interpret=True,
+                           ola_mode="fused", final_ola="matmul",
+                           observed=obs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_final_ola_matmul_rejects_unfused():
+    mag, n = _mag(batch=1, seed=1)
+    with pytest.raises(ValueError):
+        griffin_lim_pallas(mag, CFG, n_iter=1, length=n, interpret=True,
+                           ola_mode="chain", final_ola="matmul")

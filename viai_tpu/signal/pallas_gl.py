@@ -95,6 +95,7 @@ def griffin_lim_pallas(
     observed: tuple[jax.Array, jax.Array, jax.Array] | None = None,
     ola_mode: str = "auto",
     phase_init: str = "zero",
+    final_ola: str = "auto",
 ) -> jax.Array:
     """(B, F, n_bins) magnitude → (B, length) waveform. Zero-phase init.
 
@@ -135,6 +136,16 @@ def griffin_lim_pallas(
     (see module docstring). Requires hop ≤ n_fft//2 (≥50% overlap) and
     F > 2·⌈pad/hop⌉ + 1.
     "auto" (default) = fused when those constraints hold, else chain.
+
+    final_ola (fused mode only): how the ONE final waveform synthesis
+    after the loop is produced. "loop" = the v7 per-frame dynamic-slice
+    RMW OLA into a waveform scratch. "matmul" (v9) = reuse the in-loop
+    shift-matrix accumulation: the un-normalized OLA waveform sampled
+    at window positions IS the fused consistency sum (acc[t, j] =
+    wav[t·hop + j]), so the kernel emits acc · inv_env in frame-space
+    (F, Np) layout — zero per-frame loops — and XLA outside the kernel
+    reassembles the (B, T) waveform with a free reshape/concat/slice.
+    "auto" = the measured winner for this mode (tpu_results.jsonl).
     """
     assert cfg.center, "pallas GL implements the center=True layout"
     B0, F, n_bins = mag.shape
@@ -217,6 +228,11 @@ def griffin_lim_pallas(
 
     use_split = ola_mode == "split"
     use_fused = ola_mode == "fused"
+    if final_ola == "auto":
+        final_ola = "loop"
+    use_fout = use_fused and final_ola == "matmul"
+    if final_ola == "matmul" and not use_fused:
+        raise ValueError("final_ola='matmul' requires the fused OLA mode")
     K_ola = -(-N // hop)                   # overlapping-frame half-width
 
     # v7 fused-mode host constants. Frames are padded to Np lanes with a
@@ -305,6 +321,12 @@ def griffin_lim_pallas(
         for s in range(n_edge):
             U_ec[F - 1 - s, n_edge + s] = 1.0
         total_w = total + (Np - N)         # OLA scratch fits Np windows
+        # v9 final-OLA constant: plain per-position 1/env in frame-space
+        # layout (no edge zeroing — the OUTPUT waveform needs no reflect
+        # correction, only trim, which happens outside the kernel).
+        E_out = np.zeros((F, Np), np.float32)
+        for t in range(F):
+            E_out[t, :N] = inv_env[t * hop : t * hop + N]
 
     def kernel(*refs):
         refs = list(refs)
@@ -320,10 +342,12 @@ def griffin_lim_pallas(
         cosw_ref, sinw_ref, icosw_ref, isinw_ref = refs[:4]
         env_ref, jl_ref, jr_ref = refs[4:7]
         del refs[:7]
-        e_ref = t_ref = u_ref = None
+        e_ref = t_ref = u_ref = eo_ref = None
         if use_fused:
             e_ref, t_ref, u_ref = refs[:3]
             del refs[:3]
+        if use_fout:
+            eo_ref = refs.pop(0)
         out_ref, re_s, im_s, pre_s, pim_s, fr_s, wav_s = refs[:7]
         acc_s = refs[7] if use_split else None
         magv = mag_ref[:]                             # (CB, F, n_bins)
@@ -434,6 +458,23 @@ def griffin_lim_pallas(
                                preferred_element_type=jnp.float32
                                ).reshape(CB, F, n_bins)
 
+        def ola_acc(frc):
+            """Un-normalized fused consistency sum for one clip:
+            acc[t, j] = Σ_d fr[t+d, j − d·hop] = OLA wav at t·hop + j."""
+            acc = frc                                  # the d = 0 term
+            for i, d in enumerate(ds_nz):
+                g = jnp.dot(t_ref[i * F8 : i * F8 + F8, :], frc,
+                            preferred_element_type=jnp.float32)
+                j0 = max(0, d * hop)
+                j1 = min(Np, Np + d * hop)
+                sl = g[0:F, j0 - d * hop : j1 - d * hop]
+                z = jnp.zeros((F, Np - (j1 - j0)), jnp.float32)
+                part = (jnp.concatenate([sl, z], axis=1)
+                        if j0 == 0 else
+                        jnp.concatenate([z, sl], axis=1))
+                acc = acc + part
+            return acc
+
         def fused_project():
             """v7: fr_s → consistent frames → (re, im) with ZERO loops
             and ZERO single-row VMEM writes.
@@ -452,18 +493,7 @@ def griffin_lim_pallas(
             """
             for c in range(CB):
                 frc = fr_s[c]                          # (F, Np)
-                acc = frc                              # the d = 0 term
-                for i, d in enumerate(ds_nz):
-                    g = jnp.dot(t_ref[i * F8 : i * F8 + F8, :], frc,
-                                preferred_element_type=jnp.float32)
-                    j0 = max(0, d * hop)
-                    j1 = min(Np, Np + d * hop)
-                    sl = g[0:F, j0 - d * hop : j1 - d * hop]
-                    z = jnp.zeros((F, Np - (j1 - j0)), jnp.float32)
-                    part = (jnp.concatenate([sl, z], axis=1)
-                            if j0 == 0 else
-                            jnp.concatenate([z, sl], axis=1))
-                    acc = acc + part
+                acc = ola_acc(frc)
                 # Edge slabs from the UN-normalized accumulator rows
                 # (env of the source rows lives inside jl/jr).
                 r1 = acc[1:2, :]                       # (1, Np)
@@ -505,8 +535,16 @@ def griffin_lim_pallas(
             return carry
 
         jax.lax.fori_loop(0, n_iter, body, 0)
-        istft_to_wav()
-        out_ref[:, 0, :] = wav_s[:, pad : pad + T]
+        if use_fout:
+            # v9: the final waveform never touches a per-frame loop —
+            # emit the normalized OLA in frame-space layout; the caller
+            # reassembles (B, T) with XLA reshape/concat (free, fused).
+            compute_frames()
+            for c in range(CB):
+                out_ref[c] = ola_acc(fr_s[c]) * eo_ref[:]
+        else:
+            istft_to_wav()
+            out_ref[:, 0, :] = wav_s[:, pad : pad + T]
 
     NW = Np if use_fused else N
     jl_shape = (Np, n_edge * Np) if use_fused else (Jpad, Jpad)
@@ -542,9 +580,14 @@ def griffin_lim_pallas(
             pl.BlockSpec(U_ec.shape, lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
-    # Output is (B, 1, T) so each block's trailing two dims equal the
-    # array dims (TPU block-shape rule); squeezed on return.
-    out_specs = pl.BlockSpec((CB, 1, T), lambda b: (b, 0, 0),
+    if use_fout:
+        in_specs += [pl.BlockSpec((F, Np), lambda b: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+    # Output blocks keep the trailing dims equal to the array dims (TPU
+    # block-shape rule): (B, 1, T) waveform layout, or (B, F, Np)
+    # frame-space layout for the v9 final OLA.
+    out_sh = (B, F, Np) if use_fout else (B, 1, T)
+    out_specs = pl.BlockSpec((CB,) + out_sh[1:], lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
 
     operands = [mag]
@@ -563,9 +606,11 @@ def griffin_lim_pallas(
     if use_fused:
         operands += [jnp.asarray(E_fr), jnp.asarray(T_st),
                      jnp.asarray(U_ec)]
+    if use_fout:
+        operands += [jnp.asarray(E_out)]
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, 1, T), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_sh, jnp.float32),
         grid=(B // CB,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -583,4 +628,12 @@ def griffin_lim_pallas(
         ),
         interpret=interpret,
     )(*operands)
+    if use_fout:
+        # out[b, t, j] = wav_norm[t·hop + j]. Rows' first `hop` lanes
+        # tile [0, F·hop); the last row's remaining lanes carry the
+        # tail [F·hop, (F−1)·hop + Np) ⊇ [F·hop, total − pad). Trim to
+        # [pad, pad + T). All ops here fuse into the surrounding jit.
+        rows = out[:, :, :hop].reshape(B, F * hop)
+        wav = jnp.concatenate([rows, out[:, F - 1, hop:]], axis=1)
+        return wav[:, pad : pad + T][:B0]
     return out.reshape(B, T)[:B0]
