@@ -225,4 +225,11 @@ class TestOptions(BaseOptions):
         p.add_argument("--phase", type=str, default="test")
         p.add_argument("--which_epoch", type=str, default="latest")
         p.add_argument("--how_many", type=int, default=50)
+        p.add_argument("--oracle_mag", action="store_true",
+                       help="evaluation-only attribution mode: use the "
+                            "GROUND-TRUTH magnitude in the hole (after "
+                            "the compress/decompress image round-trip) "
+                            "instead of G's prediction — measures the "
+                            "reconstruction ceiling of the phase-"
+                            "recovery pipeline itself")
         self.isTrain = False

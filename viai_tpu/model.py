@@ -172,6 +172,7 @@ class VIAIModel:
             phase_aware=not getattr(opt, "no_phase_aware", False),
             phase_init=getattr(opt, "phase_init", "auto"),
             mag_sharpen=getattr(opt, "mag_sharpen", 1.0),
+            oracle_mag=getattr(opt, "oracle_mag", False),
         )
         self._key = jax.random.key(opt.seed)
         self._input = None

@@ -338,7 +338,7 @@ def init_state(G, D, V, g_tx, d_tx, cfg: TrainConfig | None = None):
 def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                   length: int | None = None, external_mask: bool = False,
                   phase_aware: bool = True, phase_init: str = "auto",
-                  mag_sharpen: float = 1.0):
+                  mag_sharpen: float = 1.0, oracle_mag: bool = False):
     """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
 
     Full chain: STFT → mask → G inpaint → composite (observed region is
@@ -379,6 +379,14 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
     magnitudes inside 75–150-frame holes are over-smooth, and GL
     distributes phase across the smear; gamma > 1 re-concentrates each
     frame's energy onto its strongest partials at unchanged loudness.
+
+    oracle_mag=True replaces the PREDICTED hole magnitude with the
+    ground-truth one (after the same compress→decompress image
+    round-trip a perfect G would incur) — the pipeline's reconstruction
+    CEILING. Everything downstream (compositing, phase recovery, GL) is
+    unchanged, so `eval(oracle) − eval(model)` attributes the quality
+    gap between the magnitude model and phase recovery. Evaluation
+    only; never a serving path.
     """
     if phase_init == "auto":
         phase_init = "extrapolate" if phase_aware else "zero"
@@ -398,6 +406,9 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
             feats = V(frames)
         fake = G(_g_input(batch), feats)
         fake_mag = decompress(fake[..., 0], cfg.compress_ceiling)
+        if oracle_mag:
+            fake_mag = decompress(batch["real_img"][..., 0],
+                                  cfg.compress_ceiling)
         if mag_sharpen != 1.0:
             fake_mag = sharpen_mag(fake_mag, mag_sharpen, axis=-2)
         real_masked = decompress(batch["masked_img"][..., 0],
