@@ -47,6 +47,20 @@ Kernel evolution, kept honest by TPU measurements
       consumers rather than to any layout op. Reverted; the working
       diff is archived in the round-3 notes. The per-iteration MXU
       dispatch count is therefore NOT the lever for the GL×64 floor.
+  v9 (final_ola="matmul", round 3, REFUTED as default): replace the
+      one final per-frame OLA loop with the in-loop shift-matrix
+      accumulation, emitting the waveform in frame-space (F, Np)
+      layout (XLA reassembles outside). Interpret-parity exact, but
+      measured SLOWER on both counts — 42.6 vs 39.1 ms (GL×32) and
+      54.9 vs 51.1 ms (GL×64) per 128 clips, a constant ≈ +3.6 ms:
+      the F lane-aligned dynamic-slice RMWs of the final OLA cost
+      LESS than 6 extra shift matmuls + the 4× larger output write.
+      With v8 this closes VERDICT r2 #8: the ×64 chain's marginal
+      per-iteration device cost is ~0.37 ms/128 clips (probe pair
+      it32/it64), i.e. the loop body is already compute-floor-bound;
+      the remaining per-call gap is relay dispatch, which the
+      scan-fused bench methodology (bench.py --inner) already
+      amortizes. Kept as an opt-in for regression tracking.
 
 Semantics match griffin_lim.py exactly (librosa fast-GL): momentum
 m/(1+m), window-sum-square normalization, zero-phase init.
@@ -145,7 +159,8 @@ def griffin_lim_pallas(
     wav[t·hop + j]), so the kernel emits acc · inv_env in frame-space
     (F, Np) layout — zero per-frame loops — and XLA outside the kernel
     reassembles the (B, T) waveform with a free reshape/concat/slice.
-    "auto" = the measured winner for this mode (tpu_results.jsonl).
+    "auto" = "loop", the measured winner at both GL×32 and GL×64 (v9
+    is ≈+3.6 ms/128 clips — module docstring refutation, round 3).
     """
     assert cfg.center, "pallas GL implements the center=True layout"
     B0, F, n_bins = mag.shape
