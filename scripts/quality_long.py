@@ -53,6 +53,11 @@ def main():
                     help="polyphonic note-event corpus (onsets/decays/"
                          "chords) instead of the sustained-harmonic "
                          "default — the harder inpainting task")
+    ap.add_argument("--notes_grid", action="store_true",
+                    help="deterministic twin of --notes (beat grid + "
+                         "repeating arpeggio): hole contents fully "
+                         "inferable from context — the ambiguity-"
+                         "ceiling attribution corpus")
     ap.add_argument("--cue", action="store_true",
                     help="vision-NECESSARY av_cue corpus: the hole is "
                          "audio-ambiguous (one of two instruments "
@@ -65,6 +70,9 @@ def main():
     ap.add_argument("--lambda_sc", type=float, default=0.0)
     ap.add_argument("--lambda_onset", type=float, default=0.0)
     ap.add_argument("--bottleneck_dilation", type=str, default="")
+    ap.add_argument("--ngf", type=int, default=64,
+                    help="generator width (capacity arm of the round-3 "
+                         "notes ladder); must be repeated at test time")
     args = ap.parse_args()
 
     import jax
@@ -85,7 +93,8 @@ def main():
         "--dataset_mode",
         ("synthetic_av_cue" if args.cue else
          ("synthetic_av" if args.model == "av" else "synthetic")
-         + ("_notes" if args.notes else "")),
+         + ("_notes_grid" if args.notes_grid else
+            "_notes" if args.notes else "")),
         "--batchSize", str(args.batch),
         "--dtype", "bfloat16",
         "--hole_weight", str(args.hole_weight),
@@ -97,6 +106,7 @@ def main():
         "--lambda_sc", str(args.lambda_sc),
         "--lambda_onset", str(args.lambda_onset),
         "--bottleneck_dilation", args.bottleneck_dilation,
+        "--ngf", str(args.ngf),
     ] + (["--long_gap"] if args.long_gap else []))
     model = VIAIModel(opt)
 
@@ -144,9 +154,11 @@ def main():
     rec = {
         "exp": "quality_long", "steps": args.steps, "batch": args.batch,
         "hole_weight": args.hole_weight, "long_gap": args.long_gap,
-        "model": args.model, "notes": args.notes, "cue": args.cue,
+        "model": args.model, "notes": args.notes,
+        "notes_grid": args.notes_grid, "cue": args.cue,
         "lambda_sc": args.lambda_sc, "lambda_onset": args.lambda_onset,
         "bottleneck_dilation": args.bottleneck_dilation,
+        "ngf": args.ngf,
         "pool_clips": args.pool_batches * args.batch,
         "final_l1": round(float(losses["loss_G_L1"]), 6),
         "train_clips_per_s": round(args.steps * args.batch / dt, 1),

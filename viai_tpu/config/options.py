@@ -47,8 +47,13 @@ class BaseOptions:
         p.add_argument("--dataset_mode", type=str, default="synthetic",
                        choices=["audio", "av", "musices", "synthetic",
                                 "synthetic_av", "synthetic_notes",
+                                "synthetic_notes_grid",
                                 "synthetic_av_notes", "synthetic_av_cue"],
                        help="*_notes = polyphonic note-event corpus "
+                            "(*_notes_grid = its deterministic twin: "
+                            "beat grid + repeating arpeggio, hole fully "
+                            "inferable from context — the ambiguity-"
+                            "ceiling attribution corpus); "
                             "(onsets/decays/chords — harder than the "
                             "sine-mixture default); synthetic_av_cue = "
                             "vision-NECESSARY corpus (hole is audio-"

@@ -126,6 +126,7 @@ def create_dataloader(
             video_frames=n_frames,
             video_size=frame_size,
             style=("av_cue" if dataset_mode.endswith("_cue")
+                   else "notes_grid" if dataset_mode.endswith("_notes_grid")
                    else "notes" if dataset_mode.endswith("_notes")
                    else "harmonic"),
         )

@@ -44,6 +44,15 @@ class SyntheticConfig:
     #   only the video (the silent instrument's blob vanishes during
     #   the gap) disambiguates. Train with mask fixed_start =
     #   AV_CUE_GAP[0], gap length pinned to AV_CUE_GAP width.
+    # "notes_grid": the DETERMINISTIC twin of "notes" (round-3
+    #   attribution corpus): onsets sit on a strict per-clip beat grid
+    #   (period + offset observable from context) and pitches repeat a
+    #   short arpeggio cycle, with one decay/inharmonicity per clip —
+    #   every note inside a hole is fully inferable from the observed
+    #   region. The score gap notes_grid − notes at matched training
+    #   measures how much of the notes plateau is irreducible
+    #   onset/pitch AMBIGUITY rather than model capacity (the
+    #   --oracle_mag eval bounds phase; this bounds information).
     style: str = "harmonic"
     max_notes: int = 8
 
@@ -169,6 +178,33 @@ def _draw_notes(rng, cfg: SyntheticConfig):
     return onset, f0, decay, amp, inharm, noise_amp
 
 
+def _draw_notes_grid(rng, cfg: SyntheticConfig):
+    """Deterministic-structure twin of _draw_notes (style="notes_grid").
+
+    One beat grid per clip (period ~U(0.18,0.30) s, random offset), a
+    repeating 3-5-pitch arpeggio cycle, a single decay/inharmonicity
+    shared by every note and per-SLOT amplitudes — so the notes inside
+    any hole are exactly the continuation of the observed pattern.
+    Returns the same tuple shape as _draw_notes; K = #grid ticks.
+    """
+    period = rng.uniform(0.18, 0.30)
+    offset = rng.uniform(0.0, period)
+    cycle = int(rng.integers(3, 6))
+    root = rng.uniform(110.0, 330.0)
+    slot_f0 = root * _INTERVALS[rng.integers(0, len(_INTERVALS), cycle)] * (
+        2.0 ** rng.integers(-1, 2, cycle))
+    slot_amp = rng.uniform(0.4, 1.0, cycle)
+    decay = rng.uniform(2.0, 5.0)
+    inharm = rng.uniform(0.0, 1e-3)
+    noise_amp = rng.uniform(0.0, 0.02)
+    onset = offset + period * np.arange(
+        int((0.98 * cfg.clip_seconds - offset) / period) + 1)
+    K = onset.shape[0]
+    slots = np.arange(K) % cycle
+    return (onset, slot_f0[slots], np.full(K, decay), slot_amp[slots],
+            np.full(K, inharm), noise_amp)
+
+
 def _render_notes_clip(rng, cfg: SyntheticConfig, t: np.ndarray):
     """One polyphonic clip → (wav float32 (n,), inst_f (n,) dominant Hz).
 
@@ -179,7 +215,8 @@ def _render_notes_clip(rng, cfg: SyntheticConfig, t: np.ndarray):
     `inst_f` tracks the loudest currently-sounding note (drives the AV
     blob so vision stays informative in 'notes' style).
     """
-    onset, f0, decay, amp, inharm, noise_amp = _draw_notes(rng, cfg)
+    draw = _draw_notes_grid if cfg.style == "notes_grid" else _draw_notes
+    onset, f0, decay, amp, inharm, noise_amp = draw(rng, cfg)
     noise = rng.standard_normal(t.shape[0])         # drawn ONCE, fixed order
     tt = t[None, :] - onset[:, None]                # (K, n)
     gate = tt >= 0.0
@@ -235,7 +272,7 @@ class SyntheticBatchIterator:
     # -- vectorized generation (values == SyntheticAVDataset) -------------
     def _gen(self, idx0: int) -> dict:
         cfg, B = self.cfg, self.batch
-        if cfg.style in ("notes", "av_cue"):
+        if cfg.style in ("notes", "notes_grid", "av_cue"):
             # These styles are cheap per clip; the per-item path
             # (~3 ms/clip) runs in this worker thread.
             ds = SyntheticAVDataset(cfg)
@@ -371,7 +408,7 @@ class SyntheticAVDataset:
             if cfg.with_video:
                 item.update(_render_av_cue_video(cfg, scene, cue, n))
             return item
-        if cfg.style == "notes":
+        if cfg.style in ("notes", "notes_grid"):
             wav, inst_f = _render_notes_clip(rng, cfg, t)
             env = _amp_envelope(wav)
             item = {"wav": wav}
