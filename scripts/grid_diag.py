@@ -15,6 +15,7 @@ masked_psnr the eval uses) on eval clips vs training-pool clips, with
 the eval's exact mask key.
 
 Usage: python scripts/grid_diag.py NAME CKPT_DIR EPOCH [DILATION] [STYLE]
+       [ATTN_BLOCKS]
 """
 
 import os
@@ -32,6 +33,7 @@ def main():
     name, ckpt_dir, epoch = sys.argv[1], sys.argv[2], sys.argv[3]
     dilation = sys.argv[4] if len(sys.argv) > 4 else "1,2,4"
     style = sys.argv[5] if len(sys.argv) > 5 else "notes_grid"
+    attn = sys.argv[6] if len(sys.argv) > 6 else "0"
 
     from flax import nnx
 
@@ -46,6 +48,7 @@ def main():
         "--dataset_mode", f"synthetic_{style}"
         if style != "harmonic" else "synthetic",
         "--bottleneck_dilation", dilation,
+        "--bottleneck_attn", attn,
     ])
     opt.isTrain = False
     model = create_model(opt)

@@ -70,6 +70,7 @@ def main():
     ap.add_argument("--lambda_sc", type=float, default=0.0)
     ap.add_argument("--lambda_onset", type=float, default=0.0)
     ap.add_argument("--bottleneck_dilation", type=str, default="")
+    ap.add_argument("--bottleneck_attn", type=int, default=0)
     ap.add_argument("--ngf", type=int, default=64,
                     help="generator width (capacity arm of the round-3 "
                          "notes ladder); must be repeated at test time")
@@ -106,15 +107,21 @@ def main():
         "--lambda_sc", str(args.lambda_sc),
         "--lambda_onset", str(args.lambda_onset),
         "--bottleneck_dilation", args.bottleneck_dilation,
+        "--bottleneck_attn", str(args.bottleneck_attn),
         "--ngf", str(args.ngf),
     ] + (["--long_gap"] if args.long_gap else []))
     model = VIAIModel(opt)
 
     # Device-resident clip pool, uploaded once.
     use_av = args.model == "av"
+    # NOTE: style must cover EVERY corpus flag. Round-3 post-mortem: the
+    # original expression fell through to "harmonic" for --notes_grid,
+    # so the first grid10 run trained on the WRONG corpus and its
+    # attribution was retracted (scripts/quality_results.jsonl).
     it = SyntheticBatchIterator(
         SyntheticConfig(with_video=use_av,
                         style=("av_cue" if args.cue else
+                               "notes_grid" if args.notes_grid else
                                "notes" if args.notes else "harmonic")),
         batch=args.batch, seed=args.seed + 1,
     )
@@ -158,6 +165,7 @@ def main():
         "notes_grid": args.notes_grid, "cue": args.cue,
         "lambda_sc": args.lambda_sc, "lambda_onset": args.lambda_onset,
         "bottleneck_dilation": args.bottleneck_dilation,
+        "bottleneck_attn": args.bottleneck_attn,
         "ngf": args.ngf,
         "pool_clips": args.pool_batches * args.batch,
         "final_l1": round(float(losses["loss_G_L1"]), 6),

@@ -88,6 +88,13 @@ class BaseOptions:
                             "residual (1x3) convs at the U-Net bottleneck "
                             "(e.g. '1,2,4'); architecture flag — must "
                             "match between train and test")
+        p.add_argument("--bottleneck_attn", type=int, default=0,
+                       help="number of transformer blocks (self-attention "
+                            "+ MLP over the flattened bottleneck grid); "
+                            "0 = off; architecture flag — must match "
+                            "between train and test")
+        p.add_argument("--attn_heads", type=int, default=8,
+                       help="attention heads per bottleneck_attn block")
         # --- TPU rebuild additions ---
         p.add_argument("--sample_rate", type=int, default=16000)
         p.add_argument("--clip_seconds", type=float, default=2.0)

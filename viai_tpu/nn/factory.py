@@ -30,12 +30,15 @@ def define_G(
     init_gain: float = 0.02,
     dropout: float = 0.0,
     bottleneck_dilation: tuple[int, ...] = (),
+    bottleneck_attn: int = 0,
+    attn_heads: int = 8,
 ) -> UNetGenerator:
     cfg = GeneratorConfig(
         in_channels=input_nc, out_channels=output_nc, ngf=ngf,
         norm=norm, dtype=_DTYPES[dtype], upsample=upsample,
         init_type=init_type, init_gain=init_gain, dropout=dropout,
         bottleneck_dilation=tuple(bottleneck_dilation),
+        bottleneck_attn=bottleneck_attn, attn_heads=attn_heads,
     )
     return UNetGenerator(cfg, nnx.Rngs(seed), fusion_channels=fusion_channels)
 

@@ -62,6 +62,19 @@ class GeneratorConfig:
     # long-gap hole, targeting onset placement inside the hole
     # (round-2 VERDICT next-round #2: the notes-corpus limiter).
     bottleneck_dilation: tuple[int, ...] = ()
+    # Number of transformer blocks (self-attention + MLP, pre-norm,
+    # residual) over the flattened (F, T) bottleneck grid. 0 = off.
+    # Motivation (round-3 notes_grid attribution): holes whose content
+    # is fully determined by observed long-range structure (a beat
+    # grid, a repeating arpeggio) score 9.5 dB WORSE than random holes
+    # under a pure conv U-Net — local convolution has no mechanism for
+    # content-based copying (find the repetition period, copy the
+    # matching observed frames). Self-attention is exactly that
+    # mechanism, and at the bottleneck it is nearly free on the MXU:
+    # 64 tokens x 512 channels = QKV/out matmuls of (64,512)x(512,512)
+    # and a (64,64) score matrix per head.
+    bottleneck_attn: int = 0
+    attn_heads: int = 8
 
 
 class InstanceNorm(nnx.Module):
@@ -222,6 +235,98 @@ class DilatedTimeBlock(nnx.Module):
         return x + nnx.relu(self.norm(self.conv(x)))
 
 
+class ChannelLayerNorm(nnx.Module):
+    """LayerNorm over the channel axis (per sample, per position)."""
+
+    def __init__(self, features: int, dtype, epsilon: float = 1e-6):
+        self.scale = nnx.Param(jnp.ones((features,), jnp.float32))
+        self.bias = nnx.Param(jnp.zeros((features,), jnp.float32))
+        self.epsilon = epsilon
+        self.dtype = dtype
+
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf), -1, keepdims=True) - jnp.square(mean)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * self.scale[...] + self.bias[...]).astype(self.dtype)
+
+
+def _sincos_pos_embed(F: int, T: int, C: int) -> jnp.ndarray:
+    """Fixed 2D sinusoidal position embedding, (F*T, C), fp32.
+
+    Half the channels encode the time index, half the frequency index
+    (standard transformer sinusoids). Computed from static shapes at
+    trace time — no shape-dependent parameters, so the same checkpoint
+    loads across bottleneck geometries (e.g. long-gap configs with a
+    different n_frames).
+    """
+    def axis_embed(n: int, dim: int) -> jnp.ndarray:
+        pos = jnp.arange(n, dtype=jnp.float32)[:, None]
+        half = dim // 2
+        freq = jnp.exp(-jnp.log(10000.0) * jnp.arange(half, dtype=jnp.float32)
+                       / max(half, 1))
+        ang = pos * freq[None, :]
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+    ct = C // 2
+    cf = C - ct
+    t_emb = axis_embed(T, ct)                       # (T, ct)
+    f_emb = axis_embed(F, cf)                       # (F, cf)
+    grid = jnp.concatenate([
+        jnp.broadcast_to(t_emb[None, :, :], (F, T, ct)),
+        jnp.broadcast_to(f_emb[:, None, :], (F, T, cf)),
+    ], axis=-1)
+    return grid.reshape(F * T, C)
+
+
+class AttentionBlock(nnx.Module):
+    """Pre-norm transformer block over the flattened bottleneck grid.
+
+    h: (B, F, T, C) → tokens (B, F·T, C) → MHSA → MLP → back to grid,
+    both sublayers residual. Output projections are ZERO-initialized so
+    the block is an exact identity at init — the GAN training dynamics
+    and any pre-attention checkpoint finetune are undisturbed until the
+    block learns to contribute. Softmax and moments run in fp32; the
+    matmuls ride the MXU in the compute dtype.
+    """
+
+    def __init__(self, ch: int, heads: int, dtype, rngs: nnx.Rngs,
+                 kernel_init=None):
+        assert ch % heads == 0, (ch, heads)
+        self.heads = heads
+        self.head_dim = ch // heads
+        self.dtype = dtype
+        kw = {"kernel_init": kernel_init} if kernel_init else {}
+        zero = nnx.initializers.zeros_init()
+        self.norm1 = ChannelLayerNorm(ch, dtype)
+        self.qkv = nnx.Linear(ch, 3 * ch, dtype=dtype,
+                              param_dtype=jnp.float32, rngs=rngs, **kw)
+        self.proj = nnx.Linear(ch, ch, dtype=dtype, param_dtype=jnp.float32,
+                               rngs=rngs, kernel_init=zero)
+        self.norm2 = ChannelLayerNorm(ch, dtype)
+        self.mlp_in = nnx.Linear(ch, 2 * ch, dtype=dtype,
+                                 param_dtype=jnp.float32, rngs=rngs, **kw)
+        self.mlp_out = nnx.Linear(2 * ch, ch, dtype=dtype,
+                                  param_dtype=jnp.float32, rngs=rngs,
+                                  kernel_init=zero)
+
+    def __call__(self, h: jax.Array) -> jax.Array:
+        B, F, T, C = h.shape
+        x = h.reshape(B, F * T, C)
+        pe = _sincos_pos_embed(F, T, C).astype(self.dtype)
+        y = self.norm1(x) + pe[None, :, :]
+        qkv = self.qkv(y).reshape(B, F * T, 3, self.heads, self.head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        attn = jax.nn.softmax(scores / jnp.sqrt(float(self.head_dim)), -1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(self.dtype), v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, F * T, C)
+        x = x + self.proj(o)
+        x = x + self.mlp_out(nnx.gelu(self.mlp_in(self.norm2(x))))
+        return x.reshape(B, F, T, C)
+
+
 class UNetGenerator(nnx.Module):
     """Spectrogram inpainting U-Net; bottleneck exposes a time axis.
 
@@ -261,6 +366,11 @@ class UNetGenerator(nnx.Module):
             self.bott_blocks.append(DilatedTimeBlock(
                 bott, d, norm, dt, rngs, kernel_init=kinit,
             ))
+        self.attn_blocks = nnx.List([])
+        for _ in range(cfg.bottleneck_attn):
+            self.attn_blocks.append(AttentionBlock(
+                bott, cfg.attn_heads, dt, rngs, kernel_init=kinit,
+            ))
         self.ups = nnx.List([])
         up_in = bott
         for i, s in reversed(list(enumerate(cfg.strides))):
@@ -296,6 +406,8 @@ class UNetGenerator(nnx.Module):
             )
             h = self.fuse(jnp.concatenate([h, f], axis=-1))
         for blk in self.bott_blocks:
+            h = blk(h)
+        for blk in self.attn_blocks:
             h = blk(h)
         use_drop = self.cfg.dropout > 0.0 and dropout_key is not None
         for i, blk in enumerate(self.ups):
