@@ -190,3 +190,51 @@ def test_shard_params_actually_shards():
             assert shards == {want}, (leaf.shape, shards)
             n_sharded += 1
     assert n_sharded >= 8  # conv kernels + biases + m/v moments
+
+
+def test_param_sharding_composes_with_bottleneck_attn():
+    """The round-3 attention blocks introduce nnx.Linear params; the
+    leaf-generic last-axis policy of shard_params must place and train
+    them identically to replicated DP (the qkv kernel (C, 3C) and mlp
+    kernels are all divisible by the model-axis size). Mirrors
+    test_model_axis_param_sharding_matches_replicated with an attn-G."""
+    import optax
+
+    from viai_tpu.nn.generator import GeneratorConfig, UNetGenerator
+    from viai_tpu.train import shard_params
+    from flax import nnx as _nnx
+
+    def models():
+        rngs = _nnx.Rngs(0)
+        G = UNetGenerator(GeneratorConfig(
+            ngf=8, strides=((2, 2), (2, 2), (2, 1)), mults=(1, 2, 4),
+            bottleneck_attn=1, attn_heads=4), rngs)
+        _, D, _ = _tiny_models(seed=0)
+        return G, D, None
+
+    def run(n_model):
+        mesh = make_mesh(4, n_model=n_model)
+        G, D, V = models()
+        tx = optax.with_extra_args_support(optax.sgd(0.05))
+        (g_def, d_def, v_def), state = init_state(G, D, V, tx, tx)
+        state = (shard_params(state, mesh, min_shard=1) if n_model > 1
+                 else replicate(state, mesh))
+        step = make_train_step(g_def, d_def, v_def, tx, tx, TINY_CFG)
+        wav = jnp.asarray(_wav(8))
+        key = jax.random.key(3)
+        with jax.set_mesh(mesh):
+            for _ in range(2):
+                key, sub = jax.random.split(key)
+                w = jax.device_put(wav, NamedSharding(mesh, P("data")))
+                state, metrics = step(state, w, None, sub)
+        return state, jax.tree.map(float, metrics)
+
+    s_rep, m_rep = run(1)
+    s_shard, m_shard = run(2)
+    for k in m_rep:
+        np.testing.assert_allclose(m_rep[k], m_shard[k], rtol=2e-4,
+                                   atol=2e-5)
+    for a, b in zip(jax.tree.leaves(s_rep["g"]),
+                    jax.tree.leaves(s_shard["g"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
