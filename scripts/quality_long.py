@@ -69,6 +69,8 @@ def main():
     # Onset-limiter levers (round-3): see nn/losses.py + generator.py.
     ap.add_argument("--lambda_sc", type=float, default=0.0)
     ap.add_argument("--lambda_onset", type=float, default=0.0)
+    ap.add_argument("--lambda_fm", type=float, default=0.0)
+    ap.add_argument("--num_D", type=int, default=1)
     ap.add_argument("--bottleneck_dilation", type=str, default="")
     ap.add_argument("--bottleneck_attn", type=int, default=0)
     ap.add_argument("--ngf", type=int, default=64,
@@ -106,6 +108,8 @@ def main():
         "--seed", str(args.seed),
         "--lambda_sc", str(args.lambda_sc),
         "--lambda_onset", str(args.lambda_onset),
+        "--lambda_fm", str(args.lambda_fm),
+        "--num_D", str(args.num_D),
         "--bottleneck_dilation", args.bottleneck_dilation,
         "--bottleneck_attn", str(args.bottleneck_attn),
         "--ngf", str(args.ngf),
@@ -164,6 +168,7 @@ def main():
         "model": args.model, "notes": args.notes,
         "notes_grid": args.notes_grid, "cue": args.cue,
         "lambda_sc": args.lambda_sc, "lambda_onset": args.lambda_onset,
+        "lambda_fm": args.lambda_fm, "num_D": args.num_D,
         "bottleneck_dilation": args.bottleneck_dilation,
         "bottleneck_attn": args.bottleneck_attn,
         "ngf": args.ngf,

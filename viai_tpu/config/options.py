@@ -44,6 +44,10 @@ class BaseOptions:
         p.add_argument("--ngf", type=int, default=64)
         p.add_argument("--ndf", type=int, default=64)
         p.add_argument("--n_layers_D", type=int, default=3)
+        p.add_argument("--num_D", type=int, default=1,
+                       help="discriminators in the multi-scale ensemble "
+                            "(pix2pixHD): each sees the input 2x further "
+                            "avg-pooled; 1 = single PatchGAN (reference)")
         p.add_argument("--dataset_mode", type=str, default="synthetic",
                        choices=["audio", "av", "musices", "synthetic",
                                 "synthetic_av", "synthetic_notes",
@@ -212,6 +216,10 @@ class TrainOptions(BaseOptions):
                             "magnitude Frobenius; onset-energy term)")
         p.add_argument("--lambda_onset", type=float, default=0.0,
                        help="spectral-flux (time-derivative) L1 weight")
+        p.add_argument("--lambda_fm", type=float, default=0.0,
+                       help="discriminator feature-matching weight "
+                            "(MelGAN/HiFi-GAN-style per-layer L1 on D "
+                            "features, fake vs real)")
         p.add_argument("--pool_size", type=int, default=0)
         p.add_argument("--lr_policy", type=str, default="lambda",
                        choices=["lambda", "step", "plateau", "cosine",

@@ -72,6 +72,7 @@ def train_config_from_opt(opt) -> TrainConfig:
         hole_weight=getattr(opt, "hole_weight", 1.0),
         lambda_sc=getattr(opt, "lambda_sc", 0.0),
         lambda_onset=getattr(opt, "lambda_onset", 0.0),
+        lambda_fm=getattr(opt, "lambda_fm", 0.0),
         use_video=opt.model == "av",
         update_order=getattr(opt, "update_order", "simultaneous"),
         pool_size=getattr(opt, "pool_size", 0) if getattr(
@@ -114,7 +115,8 @@ class VIAIModel:
         d_in = (input_nc + opt.output_nc)
         D = define_D(d_in, opt.ndf, opt.n_layers_D, opt.norm, opt.dtype,
                      seed=opt.seed + 1, init_type=init_type,
-                     init_gain=init_gain)
+                     init_gain=init_gain,
+                     num_D=getattr(opt, "num_D", 1))
         V = None
         if use_video:
             V = define_V(opt.fusion_channels, bott_time, dtype=opt.dtype,

@@ -10,7 +10,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import nnx
 
-from .discriminator import DiscriminatorConfig, PatchDiscriminator
+from .discriminator import (
+    DiscriminatorConfig,
+    MultiScaleDiscriminator,
+    PatchDiscriminator,
+)
 from .generator import GeneratorConfig, UNetGenerator
 from .video import VideoFeatureNet, VideoNetConfig
 
@@ -52,12 +56,17 @@ def define_D(
     seed: int = 1,
     init_type: str = "normal",
     init_gain: float = 0.02,
-) -> PatchDiscriminator:
+    num_D: int = 1,
+):
+    """num_D > 1 → pix2pixHD-style multi-scale ensemble (2× avg-pooled
+    pyramid); 1 keeps the single PatchGAN (reference default)."""
     cfg = DiscriminatorConfig(
         in_channels=input_nc, ndf=ndf, n_layers=n_layers_D,
         norm=norm, dtype=_DTYPES[dtype],
         init_type=init_type, init_gain=init_gain,
     )
+    if num_D > 1:
+        return MultiScaleDiscriminator(cfg, num_D, nnx.Rngs(seed))
     return PatchDiscriminator(cfg, nnx.Rngs(seed))
 
 

@@ -12,12 +12,19 @@ import jax.numpy as jnp
 import optax
 
 
-def gan_loss(logits: jax.Array, target_is_real: bool, mode: str = "lsgan"):
+def gan_loss(logits, target_is_real: bool, mode: str = "lsgan"):
     """Patch logits → scalar adversarial loss.
 
     lsgan: MSE to 1/0 targets. vanilla: sigmoid BCE. hinge: SA-GAN hinge
     (D side only; generator hinge = -mean(logits)).
+
+    `logits` may be a list/tuple of per-scale logit maps (the
+    MultiScaleDiscriminator output) — the loss is then the mean over
+    scales, each scale's patches weighted equally within it.
     """
+    if isinstance(logits, (list, tuple)):
+        return sum(gan_loss(l, target_is_real, mode)
+                   for l in logits) / len(logits)
     if mode == "lsgan":
         tgt = jnp.ones_like(logits) if target_is_real else jnp.zeros_like(logits)
         return jnp.mean((logits - tgt) ** 2)
@@ -35,12 +42,16 @@ def nn_relu(x):
     return jnp.maximum(x, 0.0)
 
 
-def generator_gan_loss(logits: jax.Array, mode: str = "lsgan"):
+def generator_gan_loss(logits, mode: str = "lsgan"):
     """The generator-side adversarial loss for every mode.
 
     hinge's G loss is -mean(logits) (SA-GAN), NOT the D-side hinge with
     flipped targets — kept here so the loss family lives in one module
-    (was special-cased in train/step.py, VERDICT r1 weak #9)."""
+    (was special-cased in train/step.py, VERDICT r1 weak #9).
+    Accepts per-scale logit lists like gan_loss."""
+    if isinstance(logits, (list, tuple)):
+        return sum(generator_gan_loss(l, mode)
+                   for l in logits) / len(logits)
     if mode == "hinge":
         return -jnp.mean(logits)
     return gan_loss(logits, True, mode)
@@ -84,6 +95,29 @@ def hole_spectral_convergence_loss(pred_mag, target_mag, keep_mask):
     num = jnp.sqrt(jnp.sum((hole * (pred_mag - target_mag)) ** 2, axis=axes))
     den = jnp.sqrt(jnp.sum((hole * target_mag) ** 2, axis=axes))
     return jnp.mean(num / jnp.maximum(den, 1e-6))
+
+
+def feature_matching_loss(feats_fake, feats_real):
+    """Per-layer L1 between D's intermediate features on fake vs real.
+
+    The GAN-vocoder staple (MelGAN/HiFi-GAN): instead of only pushing
+    the patch logits toward "real", match the discriminator's own
+    multi-scale feature statistics of the generated spectrogram to the
+    target's. Unlike pixel L1 — which rewards the time-blurred mean —
+    D's features encode exactly the local structure D uses to tell
+    fakes apart (attack transients, harmonic comb sharpness), so the
+    regression target is perceptually re-weighted per-layer. This is
+    the objective-family lever the round-3 attribution matrix points
+    at (quality_results.jsonl notes_grid_attribution_corrected).
+
+    Real features are stop-gradiented: the term shapes G only; D's own
+    objective is untouched (its loss would otherwise collapse feature
+    distances instead of classifying).
+    """
+    tot = 0.0
+    for ff, fr in zip(feats_fake, feats_real):
+        tot = tot + jnp.mean(jnp.abs(ff - jax.lax.stop_gradient(fr)))
+    return tot / max(len(feats_fake), 1)
 
 
 def onset_l1_loss(pred, target, keep_mask, hole_weight: float = 1.0):
