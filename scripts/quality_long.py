@@ -71,6 +71,7 @@ def main():
     ap.add_argument("--lambda_onset", type=float, default=0.0)
     ap.add_argument("--lambda_fm", type=float, default=0.0)
     ap.add_argument("--num_D", type=int, default=1)
+    ap.add_argument("--gated", action="store_true")
     ap.add_argument("--bottleneck_dilation", type=str, default="")
     ap.add_argument("--bottleneck_attn", type=int, default=0)
     ap.add_argument("--ngf", type=int, default=64,
@@ -113,7 +114,8 @@ def main():
         "--bottleneck_dilation", args.bottleneck_dilation,
         "--bottleneck_attn", str(args.bottleneck_attn),
         "--ngf", str(args.ngf),
-    ] + (["--long_gap"] if args.long_gap else []))
+    ] + (["--gated"] if args.gated else [])
+      + (["--long_gap"] if args.long_gap else []))
     model = VIAIModel(opt)
 
     # Device-resident clip pool, uploaded once.
@@ -169,6 +171,7 @@ def main():
         "notes_grid": args.notes_grid, "cue": args.cue,
         "lambda_sc": args.lambda_sc, "lambda_onset": args.lambda_onset,
         "lambda_fm": args.lambda_fm, "num_D": args.num_D,
+        "gated": args.gated,
         "bottleneck_dilation": args.bottleneck_dilation,
         "bottleneck_attn": args.bottleneck_attn,
         "ngf": args.ngf,

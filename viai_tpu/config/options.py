@@ -99,6 +99,12 @@ class BaseOptions:
                             "between train and test")
         p.add_argument("--attn_heads", type=int, default=8,
                        help="attention heads per bottleneck_attn block")
+        p.add_argument("--gated", action="store_true",
+                       help="gated convolutions (DeepFill-v2) in every "
+                            "G encoder/decoder block: conv emits 2x "
+                            "channels, features x sigmoid(gate); "
+                            "architecture flag — must match between "
+                            "train and test")
         # --- TPU rebuild additions ---
         p.add_argument("--sample_rate", type=int, default=16000)
         p.add_argument("--clip_seconds", type=float, default=2.0)

@@ -111,7 +111,8 @@ class VIAIModel:
                      init_type=init_type, init_gain=init_gain,
                      dropout=dropout, bottleneck_dilation=dilation,
                      bottleneck_attn=getattr(opt, "bottleneck_attn", 0),
-                     attn_heads=getattr(opt, "attn_heads", 8))
+                     attn_heads=getattr(opt, "attn_heads", 8),
+                     gated=getattr(opt, "gated", False))
         d_in = (input_nc + opt.output_nc)
         D = define_D(d_in, opt.ndf, opt.n_layers_D, opt.norm, opt.dtype,
                      seed=opt.seed + 1, init_type=init_type,

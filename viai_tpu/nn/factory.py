@@ -36,6 +36,7 @@ def define_G(
     bottleneck_dilation: tuple[int, ...] = (),
     bottleneck_attn: int = 0,
     attn_heads: int = 8,
+    gated: bool = False,
 ) -> UNetGenerator:
     cfg = GeneratorConfig(
         in_channels=input_nc, out_channels=output_nc, ngf=ngf,
@@ -43,6 +44,7 @@ def define_G(
         init_type=init_type, init_gain=init_gain, dropout=dropout,
         bottleneck_dilation=tuple(bottleneck_dilation),
         bottleneck_attn=bottleneck_attn, attn_heads=attn_heads,
+        gated=gated,
     )
     return UNetGenerator(cfg, nnx.Rngs(seed), fusion_channels=fusion_channels)
 

@@ -75,6 +75,17 @@ class GeneratorConfig:
     # and a (64,64) score matrix per head.
     bottleneck_attn: int = 0
     attn_heads: int = 8
+    # Gated convolutions (DeepFill-v2): every encoder/decoder conv
+    # emits 2x channels, split into features and a per-pixel, per-
+    # channel soft gate — out = act(norm(feat)) * sigmoid(gate). The
+    # inpainting-specific motivation: a vanilla conv treats hole and
+    # observed pixels identically (the mask is just another input
+    # channel at layer 1); learned gates let every layer re-derive
+    # soft validity for its own receptive field, which is the
+    # architecture-family lever the round-3 notes attribution matrix
+    # never covered. TPU cost: the doubled conv is one bigger MXU
+    # matmul + a fused elementwise — no layout or fusion penalty.
+    gated: bool = False
 
 
 class InstanceNorm(nnx.Module):
@@ -159,19 +170,30 @@ def _norm(norm: str, features: int, dtype, rngs: nnx.Rngs):
 
 
 class DownBlock(nnx.Module):
-    """conv(4x4, stride s) → norm → LeakyReLU(0.2)."""
+    """conv(4x4, stride s) → norm → LeakyReLU(0.2).
+
+    gated=True (DeepFill-v2): the conv emits 2*cout channels; the
+    second half is a per-pixel sigmoid gate multiplying the activated
+    first half — soft validity propagated layer by layer.
+    """
 
     def __init__(self, cin, cout, stride, norm, dtype, rngs: nnx.Rngs,
-                 kernel_init=None):
+                 kernel_init=None, gated: bool = False):
         kw = {"kernel_init": kernel_init} if kernel_init else {}
+        self.gated = gated
         self.conv = nnx.Conv(
-            cin, cout, kernel_size=(4, 4), strides=stride, padding="SAME",
+            cin, 2 * cout if gated else cout, kernel_size=(4, 4),
+            strides=stride, padding="SAME",
             dtype=dtype, param_dtype=jnp.float32, rngs=rngs, **kw,
         )
         self.norm = _norm(norm, cout, dtype, rngs)
 
     def __call__(self, x):
-        return nnx.leaky_relu(self.norm(self.conv(x)), 0.2)
+        h = self.conv(x)
+        if self.gated:
+            feat, gate = jnp.split(h, 2, axis=-1)
+            return nnx.leaky_relu(self.norm(feat), 0.2) * nnx.sigmoid(gate)
+        return nnx.leaky_relu(self.norm(h), 0.2)
 
 
 class UpBlock(nnx.Module):
@@ -182,18 +204,21 @@ class UpBlock(nnx.Module):
     """
 
     def __init__(self, cin, cout, stride, norm, dtype, rngs: nnx.Rngs,
-                 mode: str = "deconv", kernel_init=None):
+                 mode: str = "deconv", kernel_init=None,
+                 gated: bool = False):
         self.mode = mode
         self.stride = stride
+        self.gated = gated
+        c_out_conv = 2 * cout if gated else cout
         kw = {"kernel_init": kernel_init} if kernel_init else {}
         if mode == "resize":
             self.conv = nnx.Conv(
-                cin, cout, kernel_size=(3, 3), padding="SAME",
+                cin, c_out_conv, kernel_size=(3, 3), padding="SAME",
                 dtype=dtype, param_dtype=jnp.float32, rngs=rngs, **kw,
             )
         else:
             self.conv = nnx.ConvTranspose(
-                cin, cout, kernel_size=(4, 4), strides=stride,
+                cin, c_out_conv, kernel_size=(4, 4), strides=stride,
                 padding="SAME", dtype=dtype, param_dtype=jnp.float32,
                 rngs=rngs, **kw,
             )
@@ -206,7 +231,11 @@ class UpBlock(nnx.Module):
                 x, (b, h * self.stride[0], w * self.stride[1], c),
                 method="nearest",
             )
-        return nnx.relu(self.norm(self.conv(x)))
+        h = self.conv(x)
+        if self.gated:
+            feat, gate = jnp.split(h, 2, axis=-1)
+            return nnx.relu(self.norm(feat)) * nnx.sigmoid(gate)
+        return nnx.relu(self.norm(h))
 
 
 class DilatedTimeBlock(nnx.Module):
@@ -351,6 +380,7 @@ class UNetGenerator(nnx.Module):
             blk = DownBlock(
                 chans[i], chans[i + 1], s,
                 "none" if i == 0 else norm, dt, rngs, kernel_init=kinit,
+                gated=cfg.gated,
             )
             self.downs.append(blk)
         bott = chans[-1]
@@ -376,7 +406,8 @@ class UNetGenerator(nnx.Module):
         for i, s in reversed(list(enumerate(cfg.strides))):
             cout = chans[i] if i > 0 else ngf
             self.ups.append(UpBlock(up_in, cout, s, norm, dt, rngs,
-                                    mode=cfg.upsample, kernel_init=kinit))
+                                    mode=cfg.upsample, kernel_init=kinit,
+                                    gated=cfg.gated))
             # Next up-block consumes skip concat.
             up_in = cout + chans[i] if i > 0 else cout
         self.head = nnx.Conv(
