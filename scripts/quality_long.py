@@ -72,6 +72,8 @@ def main():
     ap.add_argument("--lambda_fm", type=float, default=0.0)
     ap.add_argument("--num_D", type=int, default=1)
     ap.add_argument("--gated", action="store_true")
+    ap.add_argument("--phase_head", action="store_true")
+    ap.add_argument("--lambda_phase", type=float, default=1.0)
     ap.add_argument("--bottleneck_dilation", type=str, default="")
     ap.add_argument("--bottleneck_attn", type=int, default=0)
     ap.add_argument("--ngf", type=int, default=64,
@@ -114,7 +116,9 @@ def main():
         "--bottleneck_dilation", args.bottleneck_dilation,
         "--bottleneck_attn", str(args.bottleneck_attn),
         "--ngf", str(args.ngf),
+        "--lambda_phase", str(args.lambda_phase),
     ] + (["--gated"] if args.gated else [])
+      + (["--phase_head"] if args.phase_head else [])
       + (["--long_gap"] if args.long_gap else []))
     model = VIAIModel(opt)
 
@@ -171,7 +175,8 @@ def main():
         "notes_grid": args.notes_grid, "cue": args.cue,
         "lambda_sc": args.lambda_sc, "lambda_onset": args.lambda_onset,
         "lambda_fm": args.lambda_fm, "num_D": args.num_D,
-        "gated": args.gated,
+        "gated": args.gated, "phase_head": args.phase_head,
+        "lambda_phase": args.lambda_phase,
         "bottleneck_dilation": args.bottleneck_dilation,
         "bottleneck_attn": args.bottleneck_attn,
         "ngf": args.ngf,

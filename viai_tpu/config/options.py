@@ -105,6 +105,12 @@ class BaseOptions:
                             "channels, features x sigmoid(gate); "
                             "architecture flag — must match between "
                             "train and test")
+        p.add_argument("--phase_head", action="store_true",
+                       help="G also predicts hole phase as (cos, sin) "
+                            "channels (Vocos-style); inference seeds "
+                            "GL from the prediction (phase_init=model "
+                            "under auto). Architecture flag — must "
+                            "match between train and test")
         # --- TPU rebuild additions ---
         p.add_argument("--sample_rate", type=int, default=16000)
         p.add_argument("--clip_seconds", type=float, default=2.0)
@@ -135,7 +141,7 @@ class BaseOptions:
                             "verbatim (phase-aware is the default and "
                             "strictly better on waveform SNR)")
         p.add_argument("--phase_init", type=str, default="auto",
-                       choices=["auto", "zero", "extrapolate"],
+                       choices=["auto", "zero", "extrapolate", "model"],
                        help="GL hole-phase init: 'extrapolate' seeds the "
                             "hole by phase-vocoder extrapolation from the "
                             "boundary (each bin's phasor keeps rotating at "
@@ -220,6 +226,10 @@ class TrainOptions(BaseOptions):
         p.add_argument("--lambda_sc", type=float, default=0.0,
                        help="hole spectral-convergence weight (linear-"
                             "magnitude Frobenius; onset-energy term)")
+        p.add_argument("--lambda_phase", type=float, default=1.0,
+                       help="hole phase-cosine loss weight (only with "
+                            "--phase_head): magnitude-weighted "
+                            "1-cos(dphi) on the predicted hole phase")
         p.add_argument("--lambda_onset", type=float, default=0.0,
                        help="spectral-flux (time-derivative) L1 weight")
         p.add_argument("--lambda_fm", type=float, default=0.0,

@@ -73,6 +73,8 @@ def train_config_from_opt(opt) -> TrainConfig:
         lambda_sc=getattr(opt, "lambda_sc", 0.0),
         lambda_onset=getattr(opt, "lambda_onset", 0.0),
         lambda_fm=getattr(opt, "lambda_fm", 0.0),
+        phase_head=getattr(opt, "phase_head", False),
+        lambda_phase=getattr(opt, "lambda_phase", 1.0),
         use_video=opt.model == "av",
         update_order=getattr(opt, "update_order", "simultaneous"),
         pool_size=getattr(opt, "pool_size", 0) if getattr(
@@ -105,7 +107,10 @@ class VIAIModel:
         dropout = 0.0 if getattr(opt, "no_dropout", False) else 0.5
         dil = getattr(opt, "bottleneck_dilation", "") or ""
         dilation = tuple(int(d) for d in str(dil).split(",") if d.strip())
-        G = define_G(input_nc, opt.output_nc, opt.ngf, opt.norm,
+        # Phase head: +2 G output channels (cos, sin). D's candidate
+        # input stays opt.output_nc — it judges magnitudes only.
+        g_out = opt.output_nc + (2 if self.cfg.phase_head else 0)
+        G = define_G(input_nc, g_out, opt.ngf, opt.norm,
                      opt.dtype, fusion_channels=fusion, seed=opt.seed,
                      upsample=getattr(opt, "upsample", "deconv"),
                      init_type=init_type, init_gain=init_gain,

@@ -120,6 +120,34 @@ def feature_matching_loss(feats_fake, feats_real):
     return tot / max(len(feats_fake), 1)
 
 
+def phase_cosine_loss(pred_cos, pred_sin, true_re_unit, true_im_unit,
+                      keep_mask, weight):
+    """Magnitude-weighted cosine phase loss over the HOLE.
+
+    The Vocos/iSTFTNet lesson (PAPERS.md): predict phase with the
+    network instead of recovering it by Griffin-Lim iteration. Phase is
+    circular, so the loss is 1 − cos(φ_pred − φ_true), computed from
+    unit phasors without any angle/atan2: with p = (c_p, s_p)/|·| and
+    t = (c_t, s_t) already unit, cos(Δφ) = c_p·c_t + s_p·s_t.
+
+    Weighting: phase is meaningless where there is no energy, so each
+    bin is weighted by `weight` (the TRUE linear magnitude) and the
+    loss is restricted to the hole (keep_mask 0). The measured
+    motivation is the long-gap ceiling (BENCHMARKS.md oracle row):
+    GL-class recovery caps waveform SNR at 3.82 dB over 75–150-frame
+    gaps even with perfect magnitudes — a direct phase prediction is
+    the only lever that can move that ceiling.
+
+    pred_cos/pred_sin: raw head outputs (any magnitude; normalized
+    here). true_re_unit/true_im_unit: unit phasors of the target STFT.
+    All (B, bins, T); keep_mask/weight broadcastable, 1 = observed.
+    """
+    inv = jax.lax.rsqrt(pred_cos * pred_cos + pred_sin * pred_sin + 1e-8)
+    cosd = (pred_cos * true_re_unit + pred_sin * true_im_unit) * inv
+    w = (1.0 - keep_mask) * weight
+    return jnp.sum(w * (1.0 - cosd)) / (jnp.sum(w) + 1e-8)
+
+
 def onset_l1_loss(pred, target, keep_mask, hole_weight: float = 1.0):
     """L1 on the TIME-DERIVATIVE of the (compressed) spectrogram image.
 

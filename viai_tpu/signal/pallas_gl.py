@@ -110,6 +110,7 @@ def griffin_lim_pallas(
     ola_mode: str = "auto",
     phase_init: str = "zero",
     final_ola: str = "auto",
+    init: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """(B, F, n_bins) magnitude → (B, length) waveform. Zero-phase init.
 
@@ -179,8 +180,13 @@ def griffin_lim_pallas(
         obs_re = fmask * re_in.astype(jnp.float32)
         obs_im = fmask * im_in.astype(jnp.float32)
         mag = (1.0 - fmask) * mag
-    use_init = phase_init == "extrapolate"
-    if use_init:
+    use_init = phase_init == "extrapolate" or init is not None
+    if init is not None:
+        # Explicit unit-phasor init (e.g. a model-predicted phase head,
+        # mirroring griffin_lim(init=)); overrides phase_init.
+        init_re = jnp.broadcast_to(init[0].astype(jnp.float32), mag.shape)
+        init_im = jnp.broadcast_to(init[1].astype(jnp.float32), mag.shape)
+    elif use_init:
         if observed is None:
             raise ValueError("phase_init='extrapolate' requires observed=")
         from .griffin_lim import extrapolate_hole_phase

@@ -34,6 +34,7 @@ from ..nn.losses import (
     hole_spectral_convergence_loss,
     masked_l1_loss,
     onset_l1_loss,
+    phase_cosine_loss,
 )
 from ..signal.griffin_lim import griffin_lim
 from ..signal.mask import MaskConfig, sample_batch_masks
@@ -56,6 +57,15 @@ class TrainConfig:
     lambda_sc: float = 0.0       # hole spectral convergence (linear mag)
     lambda_onset: float = 0.0    # spectral-flux (time-derivative) L1
     lambda_fm: float = 0.0       # D feature matching (GAN-vocoder term)
+    # Vocos/iSTFTNet-style phase head (PAPERS.md): G emits 2 extra
+    # channels (cos, sin of the hole phase). Motivated by the measured
+    # long-gap ceiling: GL-class phase recovery caps waveform SNR at
+    # 3.82 dB over 75-150-frame gaps even with PERFECT magnitudes
+    # (BENCHMARKS.md oracle row) — predicting phase is the only lever
+    # that moves the ceiling itself. D and all magnitude losses see
+    # only channel 0; the phase channels train via phase_cosine_loss.
+    phase_head: bool = False
+    lambda_phase: float = 1.0    # weight of the hole phase-cosine loss
     conditional_d: bool = True   # D sees (masked, mask, completed)
     use_video: bool = False
     update_order: str = "simultaneous"   # or "sequential" (reference parity)
@@ -146,6 +156,18 @@ def preprocess_with_mask(wav: jax.Array, tmask: jax.Array, cfg: TrainConfig):
         out["masked_lo_img"] = compress(
             lo * mask_img[..., 0], cfg.compress_ceiling
         )[..., None]
+    if cfg.phase_head:
+        # Ground-truth UNIT phasors of the target STFT, image layout
+        # (B, bins, T_img, 2) — loss target only, NEVER a G input (the
+        # hole's phase is exactly what the head must predict). XLA CSEs
+        # the stft() with stft_magnitude above. Padding frames carry a
+        # degenerate (0, 0) phasor; their loss weight is zero anyway
+        # (pad is marked observed and the magnitude weight is 0).
+        re_t, im_t = stft(wav, cfg.stft)               # (B, F, bins)
+        re_t = jnp.pad(jnp.swapaxes(re_t, -1, -2), ((0, 0), (0, 0), (0, pad)))
+        im_t = jnp.pad(jnp.swapaxes(im_t, -1, -2), ((0, 0), (0, 0), (0, pad)))
+        inv = jax.lax.rsqrt(re_t * re_t + im_t * im_t + 1e-12)
+        out["phase_img"] = jnp.stack([re_t * inv, im_t * inv], axis=-1)
     return out
 
 
@@ -154,6 +176,13 @@ def _g_input(batch):
     if "masked_lo_img" in batch:
         chans.append(batch["masked_lo_img"])
     return jnp.concatenate(chans, axis=-1)
+
+
+def _fake_mag_img(fake, cfg: TrainConfig):
+    """The magnitude-image slice of G's output (channel 0 when the
+    phase head adds cos/sin channels; the whole tensor otherwise).
+    D and every magnitude-domain loss consume ONLY this slice."""
+    return fake[..., :1] if cfg.phase_head else fake
 
 
 def _d_input(batch, img, cfg: TrainConfig):
@@ -214,7 +243,8 @@ def make_train_step(
 
     def pooled_fake_input(state, batch, fake, key):
         """Fake D input, routed through the ImagePool when enabled."""
-        fake_in = _d_input(batch, jax.lax.stop_gradient(fake), cfg)
+        fake_in = _d_input(
+            batch, jax.lax.stop_gradient(_fake_mag_img(fake, cfg)), cfg)
         if cfg.pool_size > 0:
             new_pool, fake_in = query_pool(state["pool"], fake_in, key)
             return new_pool, fake_in
@@ -225,29 +255,30 @@ def make_train_step(
         g_state, v_state = gv_state
         fake = g_forward(g_state, v_state, batch, frames, frames_valid,
                          dropout_key)
+        fake_mag = _fake_mag_img(fake, cfg)
         if cfg.lambda_fm > 0.0:
             # One D call serves both the adversarial logits and the
             # fake-side features; real-side features carry no G grad
             # (stop_gradient inside feature_matching_loss) and D's
             # params are frozen here (grads are wrt gv_state only).
             D = nnx.merge(d_def, d_state)
-            fake_logits, fake_feats = D(_d_input(batch, fake, cfg),
+            fake_logits, fake_feats = D(_d_input(batch, fake_mag, cfg),
                                         return_features=True)
             _, real_feats = D(_d_input(batch, batch["real_img"], cfg),
                               return_features=True)
             l_gan = generator_gan_loss(fake_logits, cfg.gan_mode)
         else:
-            l_gan = generator_gan_loss(d_logits(d_state, batch, fake),
+            l_gan = generator_gan_loss(d_logits(d_state, batch, fake_mag),
                                        cfg.gan_mode)
         l_l1 = masked_l1_loss(
-            fake, batch["real_img"], batch["mask_img"],
+            fake_mag, batch["real_img"], batch["mask_img"],
             hole_weight=cfg.hole_weight,
         )
         loss = l_gan + cfg.lambda_l1 * l_l1
         metrics = {"loss_G_GAN": l_gan, "loss_G_L1": l_l1}
         if cfg.lambda_sc > 0.0:
             l_sc = hole_spectral_convergence_loss(
-                decompress(fake[..., 0], cfg.compress_ceiling),
+                decompress(fake_mag[..., 0], cfg.compress_ceiling),
                 decompress(batch["real_img"][..., 0], cfg.compress_ceiling),
                 batch["mask_img"][..., 0],
             )
@@ -255,11 +286,20 @@ def make_train_step(
             metrics["loss_G_SC"] = l_sc
         if cfg.lambda_onset > 0.0:
             l_on = onset_l1_loss(
-                fake, batch["real_img"], batch["mask_img"],
+                fake_mag, batch["real_img"], batch["mask_img"],
                 hole_weight=cfg.hole_weight,
             )
             loss = loss + cfg.lambda_onset * l_on
             metrics["loss_G_onset"] = l_on
+        if cfg.phase_head and cfg.lambda_phase > 0.0:
+            l_ph = phase_cosine_loss(
+                fake[..., 1], fake[..., 2],
+                batch["phase_img"][..., 0], batch["phase_img"][..., 1],
+                batch["mask_img"][..., 0],
+                decompress(batch["real_img"][..., 0], cfg.compress_ceiling),
+            )
+            loss = loss + cfg.lambda_phase * l_ph
+            metrics["loss_G_phase"] = l_ph
         if cfg.lambda_fm > 0.0:
             l_fm = feature_matching_loss(fake_feats, real_feats)
             loss = loss + cfg.lambda_fm * l_fm
@@ -407,9 +447,13 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
     only; never a serving path.
     """
     if phase_init == "auto":
-        phase_init = "extrapolate" if phase_aware else "zero"
-    if phase_init == "extrapolate" and not phase_aware:
-        raise ValueError("phase_init='extrapolate' requires phase_aware")
+        phase_init = ("model" if (cfg.phase_head and phase_aware)
+                      else "extrapolate" if phase_aware else "zero")
+    if phase_init in ("extrapolate", "model") and not phase_aware:
+        raise ValueError(f"phase_init={phase_init!r} requires phase_aware")
+    if phase_init == "model" and not cfg.phase_head:
+        raise ValueError("phase_init='model' requires cfg.phase_head "
+                         "(a G trained with --phase_head)")
 
     @functools.partial(jax.jit, static_argnames=())
     def infer(g_state, v_state, wav, key_or_mask, frames=None):
@@ -443,14 +487,28 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
             fmask = batch["mask_img"][:, 0, :n_frames, 0][..., None]
             observed = (fmask, re_in, im_in)
         out_len = length if length is not None else wav.shape[-1]
+        init = None
+        gl_phase_init = phase_init
+        if phase_init == "model":
+            # The head's (cos, sin) channels, image layout → STFT
+            # layout, normalized to unit phasors. The observed clamp
+            # keeps true phase outside the hole, so only the hole uses
+            # the prediction; GL iterations (n_gl_iter can be small or
+            # zero) then enforce STFT consistency on top.
+            pc = jnp.swapaxes(fake[..., 1][..., :n_frames], -1, -2)
+            ps = jnp.swapaxes(fake[..., 2][..., :n_frames], -1, -2)
+            inv = jax.lax.rsqrt(pc * pc + ps * ps + 1e-8)
+            init = (pc * inv, ps * inv)
+            gl_phase_init = "zero"   # ignored: init overrides
         if cfg.gl_backend == "pallas":
             from ..signal.pallas_gl import griffin_lim_pallas
 
             return griffin_lim_pallas(
                 mag, cfg.stft, n_iter=n_gl_iter, length=out_len,
-                observed=observed, phase_init=phase_init,
+                observed=observed, phase_init=gl_phase_init, init=init,
             )
         return griffin_lim(mag, cfg.stft, n_iter=n_gl_iter, length=out_len,
-                           observed=observed, phase_init=phase_init)
+                           observed=observed, phase_init=gl_phase_init,
+                           init=init)
 
     return infer
