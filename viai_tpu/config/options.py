@@ -268,4 +268,24 @@ class TestOptions(BaseOptions):
                             "instead of G's prediction — measures the "
                             "reconstruction ceiling of the phase-"
                             "recovery pipeline itself")
+        p.add_argument("--refiner", action="store_true",
+                       help="run the stage-2 diffusion refiner "
+                            "(train/diffusion.py) between G and GL: "
+                            "loads {refiner_epoch}_net_R.pth from the "
+                            "checkpoint dir (scripts/train_refiner.py "
+                            "trains it against a frozen G)")
+        p.add_argument("--refiner_epoch", type=str, default="latest",
+                       help="epoch tag of the refiner checkpoint")
+        p.add_argument("--rngf", type=int, default=64,
+                       help="refiner width (must match "
+                            "scripts/train_refiner.py --rngf)")
+        p.add_argument("--refine_steps", type=int, default=8,
+                       help="DDIM steps for the refinement")
+        p.add_argument("--refine_t", type=float, default=0.35,
+                       help="SDEdit truncation: diffuse G's output to "
+                            "this t before denoising (1.0 = full "
+                            "generation from noise)")
+        p.add_argument("--refine_noise", type=float, default=1.0,
+                       help="initial-noise scale for the refinement "
+                            "(0.0 = fully deterministic corrector)")
         self.isTrain = False

@@ -176,19 +176,43 @@ class VIAIModel:
                 self.g_def, self.d_def, self.v_def, self.g_tx, self.d_tx,
                 self.cfg,
             )
-        self.infer_fn = make_infer_fn(
+        # Optional stage-2 diffusion refiner (eval-only; trained by
+        # scripts/train_refiner.py against a frozen G). Built with init
+        # weights here; load_networks() restores {refiner_epoch}_net_R
+        # and rebuilds infer_fn around the loaded state.
+        self.r_def = self._r_state = None
+        if not self.isTrain and getattr(opt, "refiner", False):
+            from flax import nnx
+            from .nn import define_R
+
+            R = define_R(input_nc + 2, getattr(opt, "rngf", 64),
+                         dtype=opt.dtype, seed=opt.seed + 3)
+            self.r_def, self._r_state = nnx.split(R)
+            self._r_state = replicate(self._r_state, self.mesh)
+        self.infer_fn = self._build_infer_fn()
+        self._key = jax.random.key(opt.seed)
+        self._input = None
+        self._losses: dict = {}
+        self._last_step_key = None   # step key of the latest train step
+        self._vis_infer = None       # lazy external-mask infer for visuals
+
+    def _build_infer_fn(self):
+        opt = self.opt
+        return make_infer_fn(
             self.g_def, self.v_def, self.cfg,
             n_gl_iter=getattr(opt, "gl_iters", 32),
             phase_aware=not getattr(opt, "no_phase_aware", False),
             phase_init=getattr(opt, "phase_init", "auto"),
             mag_sharpen=getattr(opt, "mag_sharpen", 1.0),
             oracle_mag=getattr(opt, "oracle_mag", False),
+            refiner=(
+                (self.r_def, self._r_state)
+                if self.r_def is not None else None
+            ),
+            refine_steps=getattr(opt, "refine_steps", 8),
+            refine_t=getattr(opt, "refine_t", 0.35),
+            refine_noise=getattr(opt, "refine_noise", 1.0),
         )
-        self._key = jax.random.key(opt.seed)
-        self._input = None
-        self._losses: dict = {}
-        self._last_step_key = None   # step key of the latest train step
-        self._vis_infer = None       # lazy external-mask infer for visuals
 
     @property
     def batch_sharding(self):
@@ -335,7 +359,6 @@ class VIAIModel:
                 jax.device_get(self.state), which_epoch, self.expr_dir
             )
             self.state = self._place_state(restored)
-            return
         except Exception:
             # .pth-only checkpoint (e.g. exported/foreign): params only.
             loaded = load_networks(self._nets(), which_epoch, self.expr_dir)
@@ -343,6 +366,13 @@ class VIAIModel:
             self.state["d"] = self._place_state(loaded["D"])
             if "V" in loaded:
                 self.state["v"] = self._place_state(loaded["V"])
+        if self.r_def is not None:
+            tag = getattr(self.opt, "refiner_epoch", "latest")
+            loaded = load_networks({"R": self._r_state}, tag, self.expr_dir)
+            self._r_state = replicate(loaded["R"], self.mesh)
+            # r_state is a closure constant of the compiled infer chain;
+            # rebuild it around the loaded weights.
+            self.infer_fn = self._build_infer_fn()
 
 
 def create_model(opt) -> VIAIModel:

@@ -396,7 +396,9 @@ def init_state(G, D, V, g_tx, d_tx, cfg: TrainConfig | None = None):
 def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                   length: int | None = None, external_mask: bool = False,
                   phase_aware: bool = True, phase_init: str = "auto",
-                  mag_sharpen: float = 1.0, oracle_mag: bool = False):
+                  mag_sharpen: float = 1.0, oracle_mag: bool = False,
+                  refiner=None, refine_steps: int = 8,
+                  refine_t: float = 0.35, refine_noise: float = 1.0):
     """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
 
     Full chain: STFT → mask → G inpaint → composite (observed region is
@@ -438,6 +440,14 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
     distributes phase across the smear; gamma > 1 re-concentrates each
     frame's energy onto its strongest partials at unchanged loudness.
 
+    refiner=(r_def, r_state) plugs the stage-2 diffusion refiner
+    (train/diffusion.py) between G and the composite: G's compressed
+    magnitude image is SDEdit-refined by `refine_steps` DDIM steps from
+    t = `refine_t` (observed region clamped each step), and the refined
+    hole replaces G's before decompress/GL. The r_state is captured as
+    a compile-time constant — eval-only plumbing, like the reference's
+    fixed test-time weights. refine_t=1.0 = full generation from noise.
+
     oracle_mag=True replaces the PREDICTED hole magnitude with the
     ground-truth one (after the same compress→decompress image
     round-trip a perfect G would incur) — the pipeline's reconstruction
@@ -467,6 +477,18 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
             V = nnx.merge(v_def, v_state)
             feats = V(frames)
         fake = G(_g_input(batch), feats)
+        if refiner is not None:
+            from .diffusion import ddim_refine
+
+            r_def, r_state = refiner
+            knoise = (jax.random.key(0) if external_mask
+                      else jax.random.fold_in(key_or_mask, 0x5EED))
+            refined = ddim_refine(
+                r_def, r_state, fake[..., :1], batch, knoise,
+                steps=refine_steps, t_start=refine_t,
+                noise_scale=refine_noise,
+            )
+            fake = jnp.concatenate([refined, fake[..., 1:]], axis=-1)
         fake_mag = decompress(fake[..., 0], cfg.compress_ceiling)
         if oracle_mag:
             fake_mag = decompress(batch["real_img"][..., 0],
