@@ -49,6 +49,20 @@ def main():
     ap.add_argument("--milestone", type=int, default=5000)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--ema_decay", type=float, default=0.999)
+    ap.add_argument("--domain", type=str, default="mag",
+                    choices=["mag", "complex"],
+                    help="mag: magnitude-image refiner (notes program). "
+                         "complex: (re, im) compressed-complex refiner "
+                         "— the round-4 long-gap phase attack; eval "
+                         "with test.py --refiner --refiner_domain "
+                         "complex")
+    ap.add_argument("--observed_weight", type=float, default=1.0,
+                    help="v-MSE weight on the observed region; 0 = "
+                         "hole-only loss (VERDICT r3 #1; pair eval "
+                         "with --refine_clamp q)")
+    ap.add_argument("--cond_drop", type=float, default=0.0,
+                    help="per-sample prob of zeroing the g_pred cond "
+                         "channel (classifier-free-guidance training)")
     ap.add_argument("--rngf", type=int, default=64, help="refiner width")
     ap.add_argument("--seed", type=int, default=0)
     # Corpus + G-architecture flags (must match the frozen G's training).
@@ -73,7 +87,9 @@ def main():
     from viai_tpu.io import save_networks
     from viai_tpu.model import VIAIModel
     from viai_tpu.nn import define_R
-    from viai_tpu.train.diffusion import make_refiner_train_step
+    from viai_tpu.train.diffusion import (complex_refiner_channels,
+                                          make_complex_refiner_train_step,
+                                          make_refiner_train_step)
     from viai_tpu.utils.compile_cache import enable as _enable_cache
 
     _enable_cache()
@@ -101,8 +117,12 @@ def main():
     model.load_networks(args.which_epoch)
 
     input_nc = 3 if model.cfg.multi_res else 2
-    R = define_R(input_nc + 2, ngf=args.rngf, dtype=opt.dtype,
-                 seed=args.seed + 3)
+    if args.domain == "complex":
+        r_in, r_out = complex_refiner_channels(input_nc)
+    else:
+        r_in, r_out = input_nc + 2, 1
+    R = define_R(r_in, ngf=args.rngf, dtype=opt.dtype,
+                 seed=args.seed + 3, out_channels=r_out)
     r_def, r_state = nnx.split(R)
     r_ema = jax.tree.map(jnp.copy, r_state)  # fresh buffers: r_state is donated
     r_tx = optax.adam(
@@ -110,9 +130,13 @@ def main():
         b1=0.9, b2=0.999,
     )
     r_opt = r_tx.init(r_state)
-    step_fn = make_refiner_train_step(
+    make_step = (make_complex_refiner_train_step if args.domain == "complex"
+                 else make_refiner_train_step)
+    step_fn = make_step(
         model.g_def, model.v_def, r_def, r_tx, model.cfg,
-        hole_weight=args.hole_weight, ema_decay=args.ema_decay,
+        hole_weight=args.hole_weight,
+        observed_weight=args.observed_weight,
+        cond_drop=args.cond_drop, ema_decay=args.ema_decay,
     )
 
     it = SyntheticBatchIterator(
@@ -143,9 +167,13 @@ def main():
             print(f"step {step}/{args.steps}  v-MSE {lr_:.5f}  "
                   f"{rate:.1f} steps/s", flush=True)
         if step % args.milestone == 0:
-            save_networks({"R": r_ema}, str(step), model.expr_dir)
-            print(f"saved net_R @ {step}", flush=True)
-    save_networks({"R": r_ema}, "latest", model.expr_dir,
+            # EMA is the default serving family (net_R); the raw weights
+            # are saved alongside (net_Rraw) so eval can A/B them
+            # (--refiner_net Rraw, VERDICT r3 #1 "EMA vs raw").
+            save_networks({"R": r_ema, "Rraw": r_state}, str(step),
+                          model.expr_dir)
+            print(f"saved net_R/net_Rraw @ {step}", flush=True)
+    save_networks({"R": r_ema, "Rraw": r_state}, "latest", model.expr_dir,
                   also_latest=False)
 
     dt = time.perf_counter() - t0
@@ -155,6 +183,8 @@ def main():
         "notes_grid": args.notes_grid, "long_gap": args.long_gap,
         "g_epoch": args.which_epoch, "rngf": args.rngf, "lr": args.lr,
         "ema_decay": args.ema_decay,
+        "observed_weight": args.observed_weight,
+        "cond_drop": args.cond_drop, "domain": args.domain,
         "final_v_mse": round(float(losses["loss_R"]), 6),
         "train_clips_per_s": round(args.steps * args.batch / dt, 1),
         "expr_dir": model.expr_dir, "t": time.time(),

@@ -200,3 +200,209 @@ def test_refiner_cli_roundtrip(tmp_path):
     ])
     assert summary["n"] == 2
     assert np.isfinite(summary["psnr_mean"])
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (VERDICT r3 next-round #1/#7): hole-only loss, CFG, clamp
+# modes, and the audio-visual stage-2 arm.
+# ---------------------------------------------------------------------------
+
+def test_refiner_train_step_hole_only_and_cond_drop():
+    """observed_weight=0 + cond_drop>0: step runs, loss finite and
+    decreasing; gradients exist (params move off init)."""
+    import optax
+
+    g_def, g_state, wav, _, _ = _tiny_setup()
+    R = _tiny_refiner()
+    r_def, r_state = nnx.split(R)
+    init_leaves = jax.tree.map(jnp.copy, r_state)
+    r_ema = jax.tree.map(jnp.copy, r_state)
+    r_tx = optax.adam(1e-3)
+    r_opt = r_tx.init(r_state)
+    step = make_refiner_train_step(
+        g_def, None, r_def, r_tx, TINY_CFG,
+        observed_weight=0.0, cond_drop=0.15,
+    )
+    key = jax.random.key(11)
+    losses = []
+    for _ in range(30):
+        key, sub = jax.random.split(key)
+        r_state, r_opt, r_ema, m = step(
+            r_state, r_opt, r_ema, g_state, None, wav, sub
+        )
+        losses.append(float(m["loss_R"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), init_leaves, r_state))
+    assert max(moved) > 0.0
+
+
+def test_ddim_refine_guidance_zero_init_matches_unguided():
+    """With the zero-init R, v̂_cond = v̂_uncond = 0, so CFG at any scale
+    must reproduce the unguided trajectory exactly."""
+    g_def, g_state, wav, batch_d, fake = _tiny_setup()
+    R = _tiny_refiner()
+    r_def, r_state = nnx.split(R)
+    g_img = fake[..., :1]
+    base = ddim_refine(r_def, r_state, g_img, batch_d, jax.random.key(4),
+                       steps=3, t_start=0.4)
+    guided = ddim_refine(r_def, r_state, g_img, batch_d, jax.random.key(4),
+                         steps=3, t_start=0.4, guidance=2.0)
+    np.testing.assert_allclose(np.asarray(guided), np.asarray(base),
+                               atol=1e-6)
+
+
+def test_ddim_refine_clamp_q_semantics():
+    """'q' clamp: final output observed region is exactly the known
+    image; deterministic at noise_scale=0; finite at full generation."""
+    g_def, g_state, wav, batch_d, fake = _tiny_setup()
+    R = _tiny_refiner()
+    r_def, r_state = nnx.split(R)
+    g_img = fake[..., :1]
+    out = ddim_refine(r_def, r_state, g_img, batch_d, jax.random.key(8),
+                      steps=4, t_start=1.0, clamp_mode="q")
+    m = np.asarray(batch_d["mask_img"])
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out) * m,
+                               np.asarray(batch_d["masked_img"]) * m,
+                               atol=1e-5)
+    a = ddim_refine(r_def, r_state, g_img, batch_d, jax.random.key(1),
+                    steps=3, t_start=0.4, clamp_mode="q", noise_scale=0.0)
+    b = ddim_refine(r_def, r_state, g_img, batch_d, jax.random.key(2),
+                    steps=3, t_start=0.4, clamp_mode="q", noise_scale=0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_refiner_train_step_av():
+    """VERDICT r3 #7: the stage-2 refiner trains against a frozen
+    AUDIO-VISUAL (G, V) pair — V's features feed G inside the step."""
+    import optax
+
+    from viai_tpu.testing import tiny_models
+    from viai_tpu.train.step import TrainConfig
+
+    G, D, V = tiny_models(use_video=True)
+    cfg = TrainConfig(**{**TINY_CFG.__dict__, "use_video": True})
+    g_def, g_state = nnx.split(G)
+    v_def, v_state = nnx.split(V)
+    wav = jnp.asarray(tone_batch(2))
+    frames = jax.random.normal(jax.random.key(7), (2, 8, 16, 16, 3))
+    R = _tiny_refiner()
+    r_def, r_state = nnx.split(R)
+    r_ema = jax.tree.map(jnp.copy, r_state)
+    r_tx = optax.adam(1e-3)
+    r_opt = r_tx.init(r_state)
+    step = make_refiner_train_step(g_def, v_def, r_def, r_tx, cfg)
+    key = jax.random.key(13)
+    losses = []
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        r_state, r_opt, r_ema, m = step(
+            r_state, r_opt, r_ema, g_state, v_state, wav, sub, frames
+        )
+        losses.append(float(m["loss_R"]))
+    assert np.isfinite(losses).all()
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (VERDICT r3 next-round #6): complex-domain refiner — the
+# long-gap phase attack (hole (re, im) via DDIM, GL-free iSTFT decode).
+# ---------------------------------------------------------------------------
+
+def test_complex_compress_roundtrip():
+    from viai_tpu.signal.mel import complex_compress, complex_decompress
+
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    re = jax.random.normal(k1, (2, 16, 16)) * 50.0
+    im = jax.random.normal(k2, (2, 16, 16)) * 50.0
+    cre, cim = complex_compress(re, im)
+    assert float(jnp.max(jnp.sqrt(cre**2 + cim**2))) <= 1.0 + 1e-6
+    re2, im2 = complex_decompress(cre, cim)
+    np.testing.assert_allclose(np.asarray(re2), np.asarray(re),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(im2), np.asarray(im),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_complex_image_istft_roundtrip():
+    """complex_image → decompress → iSTFT reconstructs the waveform
+    (STFT consistency; interior samples, librosa-style edge effects)."""
+    from viai_tpu.signal.mel import complex_decompress
+    from viai_tpu.signal.stft import istft
+    from viai_tpu.train.diffusion import complex_image
+
+    wav = jnp.asarray(tone_batch(2))
+    img = complex_image(wav, TINY_CFG)
+    assert img.shape == (2, 64, 64, 2)
+    n_fr = TINY_CFG.stft.num_frames(wav.shape[-1])
+    re, im = complex_decompress(img[..., 0], img[..., 1],
+                                TINY_CFG.compress_ceiling)
+    re = jnp.swapaxes(re[..., :n_fr], -1, -2)
+    im = jnp.swapaxes(im[..., :n_fr], -1, -2)
+    out = istft(re, im, TINY_CFG.stft, length=wav.shape[-1])
+    a, b = np.asarray(out)[:, 200:-200], np.asarray(wav)[:, 200:-200]
+    rel = np.abs(a - b).max() / np.abs(b).max()
+    assert rel < 5e-3, rel
+
+
+def test_complex_refiner_train_step_learns():
+    import optax
+
+    from viai_tpu.train.diffusion import (complex_refiner_channels,
+                                          make_complex_refiner_train_step)
+
+    g_def, g_state, wav, _, _ = _tiny_setup()
+    r_in, r_out = complex_refiner_channels(2)
+    R = define_R(r_in, ngf=8, out_channels=r_out)
+    r_def, r_state = nnx.split(R)
+    r_ema = jax.tree.map(jnp.copy, r_state)
+    r_tx = optax.adam(1e-3)
+    r_opt = r_tx.init(r_state)
+    step = make_complex_refiner_train_step(
+        g_def, None, r_def, r_tx, TINY_CFG, observed_weight=0.0)
+    key = jax.random.key(17)
+    losses = []
+    for _ in range(40):
+        key, sub = jax.random.split(key)
+        r_state, r_opt, r_ema, m = step(
+            r_state, r_opt, r_ema, g_state, None, wav, sub
+        )
+        losses.append(float(m["loss_R"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_complex_infer_fn_observed_region_exact():
+    """GL-free chain with the zero-init R: the OBSERVED region decodes
+    from its exact complex STFT — interior observed samples must match
+    the input waveform to high accuracy (the property GL can only
+    approximate), regardless of what the hole contains."""
+    from viai_tpu.train.diffusion import (complex_refiner_channels,
+                                          make_complex_refiner_infer_fn)
+    from viai_tpu.train.step import preprocess
+
+    g_def, g_state, wav, _, _ = _tiny_setup(batch=2)
+    wav = wav[:2]
+    r_in, r_out = complex_refiner_channels(2)
+    R = define_R(r_in, ngf=8, out_channels=r_out)
+    r_def, r_state = nnx.split(R)
+    infer = make_complex_refiner_infer_fn(
+        g_def, None, r_def, r_state, TINY_CFG, steps=3, t_start=1.0)
+    key = jax.random.key(21)
+    out = infer(g_state, None, wav, key, None)
+    assert out.shape == wav.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # Recover the exact mask the infer used (preprocess folds the key).
+    pre = preprocess(wav, key, TINY_CFG)
+    tmask = np.asarray(pre["mask_img"][:, 0, :, 0])  # (B, T_img)
+    hop, nfft = TINY_CFG.stft.hop_length, TINY_CFG.stft.n_fft
+    out_np, wav_np = np.asarray(out), np.asarray(wav)
+    for b in range(2):
+        holes = np.where(tmask[b] == 0.0)[0]
+        lo = max(int(holes.min() * hop - nfft), 300)
+        hi = min(int((holes.max() + 1) * hop + nfft), wav.shape[-1] - 300)
+        obs = np.r_[300:lo, hi:wav.shape[-1] - 300]
+        err = np.abs(out_np[b, obs] - wav_np[b, obs]).max()
+        assert err < 5e-3 * np.abs(wav_np[b]).max(), err

@@ -125,3 +125,48 @@ def test_streaming_auto_flush_on_deadline():
     # Timer is re-armed per batch: a second submit also auto-resolves.
     fut2 = svc.submit(tone_batch(1, 4032, seed=5)[0], masks)
     assert fut2.result(timeout=30).shape == (4032,)
+
+
+def test_service_with_mag_refiner():
+    """VERDICT r3 #7: the stage-2 refiner serves through InpaintService
+    (magnitude domain: DDIM between G and GL)."""
+    from viai_tpu.nn import define_R
+
+    G, D, V = tiny_models()
+    g_def, g_state = nnx.split(G)
+    R = define_R(4, ngf=8, seed=5)
+    r_def, r_state = nnx.split(R)
+    svc = InpaintService(
+        g_def, g_state, TINY_CFG, buckets=(2,), gl_iters=2,
+        clip_samples=4032, refiner=(r_def, r_state),
+        refine_steps=2, refine_t=0.3,
+    )
+    out = svc.inpaint(tone_batch(2, 4032), gap_start_s=0.08,
+                      gap_end_s=0.12)
+    assert out.shape == (2, 4032)
+    assert np.isfinite(out).all()
+
+
+def test_service_with_complex_refiner():
+    """Complex-domain serving: GL-free decode — observed samples match
+    the input to high accuracy (exact complex STFT kept verbatim)."""
+    from viai_tpu.nn import define_R
+    from viai_tpu.train.diffusion import complex_refiner_channels
+
+    G, D, V = tiny_models()
+    g_def, g_state = nnx.split(G)
+    r_in, r_out = complex_refiner_channels(2)
+    R = define_R(r_in, ngf=8, out_channels=r_out, seed=5)
+    r_def, r_state = nnx.split(R)
+    svc = InpaintService(
+        g_def, g_state, TINY_CFG, buckets=(2,), clip_samples=4032,
+        refiner=(r_def, r_state), refiner_domain="complex",
+        refine_steps=3, refine_t=1.0,
+    )
+    wavs = tone_batch(2, 4032)
+    out = svc.inpaint(wavs, gap_start_s=0.08, gap_end_s=0.12)
+    assert out.shape == (2, 4032)
+    assert np.isfinite(out).all()
+    # Observed region (well away from the gap and clip edges).
+    err = np.abs(out[:, 2600:3700] - wavs[:, 2600:3700]).max()
+    assert err < 5e-3 * np.abs(wavs).max(), err

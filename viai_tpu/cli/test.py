@@ -132,6 +132,22 @@ def main(args=None):
         f"{summary['hole_psnr_mean']:.2f} dB | SNR {summary['snr_mean']:.2f} dB "
         f"| specConv {summary['spec_conv_mean']:.4f} ({n_done} clips)"
     )
+    if getattr(opt, "log_results", ""):
+        # Durable eval record (ADVICE r3: /tmp wipes killed two queue
+        # runs' results — append the summary where git can keep it:
+        # scripts/quality_results.jsonl in the repo).
+        import json as _json
+        import time as _time
+
+        rec = {"exp": "test_eval", "tag": opt.log_results,
+               "name": opt.name, "which_epoch": opt.which_epoch,
+               "dataset_mode": opt.dataset_mode, **summary,
+               "t": _time.time()}
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            "scripts", "quality_results.jsonl")
+        with open(out, "a") as f:
+            f.write(_json.dumps(rec) + "\n")
     return summary
 
 

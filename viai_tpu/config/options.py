@@ -288,4 +288,35 @@ class TestOptions(BaseOptions):
         p.add_argument("--refine_noise", type=float, default=1.0,
                        help="initial-noise scale for the refinement "
                             "(0.0 = fully deterministic corrector)")
+        p.add_argument("--refine_guidance", type=float, default=0.0,
+                       help="classifier-free guidance scale over the "
+                            "g_pred conditioning channel (requires a "
+                            "refiner trained with --cond_drop > 0); "
+                            "0 = off")
+        p.add_argument("--refine_clamp", type=str, default="x0",
+                       choices=["x0", "q"],
+                       help="observed-region handling inside DDIM: "
+                            "'x0' clamps x0-hat each step; 'q' "
+                            "re-noises the observed region to "
+                            "q(x_u|x0) (RePaint-style; pair with "
+                            "hole-only-trained refiners)")
+        p.add_argument("--refiner_domain", type=str, default="mag",
+                       choices=["mag", "complex"],
+                       help="mag: SDEdit-refine G's magnitude image, "
+                            "then Griffin-Lim (default). complex: the "
+                            "round-4 long-gap phase attack — DDIM over "
+                            "the hole's compressed COMPLEX STFT, "
+                            "decoded by one iSTFT (no GL); requires a "
+                            "refiner trained with train_refiner.py "
+                            "--domain complex")
+        p.add_argument("--log_results", type=str, default="",
+                       help="when set, append the eval summary (tagged "
+                            "with this string) to scripts/"
+                            "quality_results.jsonl — durable record "
+                            "for queue sweeps (ADVICE r3)")
+        p.add_argument("--refiner_net", type=str, default="R",
+                       choices=["R", "Rraw"],
+                       help="which refiner checkpoint family to load: "
+                            "R = EMA weights (default), Rraw = raw "
+                            "(non-EMA) weights")
         self.isTrain = False

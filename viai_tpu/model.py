@@ -181,12 +181,20 @@ class VIAIModel:
         # weights here; load_networks() restores {refiner_epoch}_net_R
         # and rebuilds infer_fn around the loaded state.
         self.r_def = self._r_state = None
+        self._refiner_domain = getattr(opt, "refiner_domain", "mag")
         if not self.isTrain and getattr(opt, "refiner", False):
             from flax import nnx
             from .nn import define_R
 
-            R = define_R(input_nc + 2, getattr(opt, "rngf", 64),
-                         dtype=opt.dtype, seed=opt.seed + 3)
+            if self._refiner_domain == "complex":
+                from .train.diffusion import complex_refiner_channels
+
+                r_in, r_out = complex_refiner_channels(input_nc)
+            else:
+                r_in, r_out = input_nc + 2, 1
+            R = define_R(r_in, getattr(opt, "rngf", 64),
+                         dtype=opt.dtype, seed=opt.seed + 3,
+                         out_channels=r_out)
             self.r_def, self._r_state = nnx.split(R)
             self._r_state = replicate(self._r_state, self.mesh)
         self.infer_fn = self._build_infer_fn()
@@ -198,6 +206,18 @@ class VIAIModel:
 
     def _build_infer_fn(self):
         opt = self.opt
+        if self.r_def is not None and self._refiner_domain == "complex":
+            from .train.diffusion import make_complex_refiner_infer_fn
+
+            return make_complex_refiner_infer_fn(
+                self.g_def, self.v_def, self.r_def, self._r_state,
+                self.cfg,
+                steps=getattr(opt, "refine_steps", 8),
+                t_start=getattr(opt, "refine_t", 1.0),
+                noise_scale=getattr(opt, "refine_noise", 1.0),
+                guidance=getattr(opt, "refine_guidance", 0.0),
+                clamp_mode=getattr(opt, "refine_clamp", "x0"),
+            )
         return make_infer_fn(
             self.g_def, self.v_def, self.cfg,
             n_gl_iter=getattr(opt, "gl_iters", 32),
@@ -212,6 +232,8 @@ class VIAIModel:
             refine_steps=getattr(opt, "refine_steps", 8),
             refine_t=getattr(opt, "refine_t", 0.35),
             refine_noise=getattr(opt, "refine_noise", 1.0),
+            refine_guidance=getattr(opt, "refine_guidance", 0.0),
+            refine_clamp=getattr(opt, "refine_clamp", "x0"),
         )
 
     @property
@@ -368,8 +390,9 @@ class VIAIModel:
                 self.state["v"] = self._place_state(loaded["V"])
         if self.r_def is not None:
             tag = getattr(self.opt, "refiner_epoch", "latest")
-            loaded = load_networks({"R": self._r_state}, tag, self.expr_dir)
-            self._r_state = replicate(loaded["R"], self.mesh)
+            net = getattr(self.opt, "refiner_net", "R")  # R (EMA) | Rraw
+            loaded = load_networks({net: self._r_state}, tag, self.expr_dir)
+            self._r_state = replicate(loaded[net], self.mesh)
             # r_state is a closure constant of the compiled infer chain;
             # rebuild it around the loaded weights.
             self.infer_fn = self._build_infer_fn()

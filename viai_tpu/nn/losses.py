@@ -33,13 +33,9 @@ def gan_loss(logits, target_is_real: bool, mode: str = "lsgan"):
         return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, tgt))
     if mode == "hinge":
         if target_is_real:
-            return jnp.mean(nn_relu(1.0 - logits))
-        return jnp.mean(nn_relu(1.0 + logits))
+            return jnp.mean(jnp.maximum(1.0 - logits, 0.0))
+        return jnp.mean(jnp.maximum(1.0 + logits, 0.0))
     raise ValueError(f"unknown gan mode: {mode}")
-
-
-def nn_relu(x):
-    return jnp.maximum(x, 0.0)
 
 
 def generator_gan_loss(logits, mode: str = "lsgan"):

@@ -206,8 +206,11 @@ class DiffusionRefiner(nnx.Module):
 
 def define_R(in_channels: int, ngf: int = 64, norm: str = "instance",
              dtype=jnp.float32, seed: int = 0, init_type: str = "normal",
-             init_gain: float = 0.02) -> DiffusionRefiner:
+             init_gain: float = 0.02,
+             out_channels: int = 1) -> DiffusionRefiner:
+    """out_channels=1: magnitude-domain v̂; 2: complex-domain (re, im)
+    v̂ for the round-4 long-gap phase refiner (train/diffusion.py)."""
     cfg = RefinerConfig(in_channels=in_channels, ngf=ngf, norm=norm,
                         dtype=dtype, init_type=init_type,
-                        init_gain=init_gain)
+                        init_gain=init_gain, out_channels=out_channels)
     return DiffusionRefiner(cfg, nnx.Rngs(seed))

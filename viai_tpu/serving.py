@@ -67,11 +67,24 @@ class InpaintService:
         phase_aware: bool = True,
         phase_init: str = "auto",
         mag_sharpen: float = 1.0,
+        refiner=None,
+        refiner_domain: str = "mag",
+        refine_steps: int = 8,
+        refine_t: float = 0.35,
+        refine_noise: float = 1.0,
+        refine_guidance: float = 0.0,
+        refine_clamp: str = "x0",
     ):
         """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
         bucket batch over the 'data' axis — DP serving across chips,
         params replicated; bucket sizes must be divisible by the data
-        axis."""
+        axis.
+
+        refiner=(r_def, r_state) serves the stage-2 diffusion refiner
+        (train/diffusion.py; VERDICT r3 #7). refiner_domain 'mag' runs
+        it between G and Griffin-Lim; 'complex' swaps the whole decode
+        for the GL-free complex-domain chain (hole (re, im) sampled by
+        DDIM, one iSTFT) — prefer refine_t=1.0 there."""
         self.cfg = cfg
         self.mesh = mesh
         self._sharding = None
@@ -92,11 +105,29 @@ class InpaintService:
         self.buckets = tuple(sorted(buckets))
         self.clip_samples = clip_samples
         self.sample_rate = sample_rate
-        self._infer = make_infer_fn(
-            g_def, v_def, cfg, n_gl_iter=gl_iters, external_mask=True,
-            phase_aware=phase_aware, phase_init=phase_init,
-            mag_sharpen=mag_sharpen,
-        )
+        if refiner is not None and mesh is not None:
+            from .train.mesh import replicate
+
+            refiner = (refiner[0], replicate(refiner[1], mesh))
+        if refiner is not None and refiner_domain == "complex":
+            from .train.diffusion import make_complex_refiner_infer_fn
+
+            self._infer = make_complex_refiner_infer_fn(
+                g_def, v_def, refiner[0], refiner[1], cfg,
+                steps=refine_steps, t_start=refine_t,
+                noise_scale=refine_noise, guidance=refine_guidance,
+                clamp_mode=refine_clamp, external_mask=True,
+            )
+        else:
+            self._infer = make_infer_fn(
+                g_def, v_def, cfg, n_gl_iter=gl_iters, external_mask=True,
+                phase_aware=phase_aware, phase_init=phase_init,
+                mag_sharpen=mag_sharpen,
+                refiner=refiner, refine_steps=refine_steps,
+                refine_t=refine_t, refine_noise=refine_noise,
+                refine_guidance=refine_guidance,
+                refine_clamp=refine_clamp,
+            )
         self.stats = ServiceStats()
         import threading
 

@@ -98,6 +98,35 @@ def decompress(img: jax.Array, ceiling: float = 6.0) -> jax.Array:
     return jnp.expm1(jnp.clip((img + 1.0) * 0.5, 0.0, 1.0) * ceiling)
 
 
+def complex_compress(re: jax.Array, im: jax.Array,
+                     ceiling: float = 6.0) -> tuple[jax.Array, jax.Array]:
+    """Complex STFT → magnitude-log-compressed complex image channels.
+
+    Keeps the phase exactly and maps the magnitude through the SAME
+    log1p/ceiling compression as `compress` (without the [-1,1] affine:
+    silence sits at 0, the natural center for a diffusion prior over
+    sparse spectra). |output| ∈ [0, 1]; invertible via
+    `complex_decompress`. Used by the round-4 complex-domain refiner
+    (train/diffusion.py) — the one lever that can move the long-gap
+    GL phase-recovery ceiling (BENCHMARKS.md oracle row: 3.82 dB SNR
+    with PERFECT magnitudes), because it predicts hole (re, im) — i.e.
+    phase jointly with magnitude — instead of magnitudes for GL.
+    """
+    mag = jnp.sqrt(re * re + im * im)
+    scale = jnp.clip(jnp.log1p(mag) / ceiling, 0.0, 1.0) / jnp.maximum(
+        mag, 1e-12)
+    return re * scale, im * scale
+
+
+def complex_decompress(cre: jax.Array, cim: jax.Array,
+                       ceiling: float = 6.0) -> tuple[jax.Array, jax.Array]:
+    """Inverse of `complex_compress` (phase preserved exactly)."""
+    cmag = jnp.sqrt(cre * cre + cim * cim)
+    mag = jnp.expm1(jnp.clip(cmag, 0.0, 1.0) * ceiling)
+    scale = mag / jnp.maximum(cmag, 1e-12)
+    return cre * scale, cim * scale
+
+
 def sharpen_mag(mag: jax.Array, gamma: float,
                 axis: int = -2) -> jax.Array:
     """Energy-preserving spectral contrast sharpening.

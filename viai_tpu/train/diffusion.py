@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import optax
 from flax import nnx
 
+from ..signal.mel import complex_compress, complex_decompress
+from ..signal.stft import istft, stft
 from .step import TrainConfig, _g_input, preprocess
 
 # ---------------------------------------------------------------------------
@@ -85,8 +87,10 @@ def refiner_cond(batch: dict, g_img: jax.Array) -> jax.Array:
 
 def make_refiner_train_step(g_def, v_def, r_def, r_tx, cfg: TrainConfig,
                             hole_weight: float = 3.0,
+                            observed_weight: float = 1.0,
+                            cond_drop: float = 0.0,
                             ema_decay: float = 0.999):
-    """Build jit'd (r_state, r_opt, r_ema, g_state, v_state, wav, key).
+    """Build jit'd (r_state, r_opt, r_ema, g_state, v_state, wav, key[, frames]).
 
     One fused program: preprocess (STFT/mask/compress) → frozen-G
     forward → q_sample → R forward → hole-weighted v-MSE → Adam update
@@ -94,17 +98,38 @@ def make_refiner_train_step(g_def, v_def, r_def, r_tx, cfg: TrainConfig,
     same compiled step serves any G checkpoint. The EMA weights are
     what get checkpointed — standard diffusion practice, and it costs
     one fused multiply-add per parameter inside the same program.
+
+    Round-4 levers (VERDICT r3 next-round #1/#7):
+      * observed_weight=0 → HOLE-ONLY v-MSE: all model capacity goes to
+        the region the composite actually uses (the observed region is
+        clamped at every DDIM step anyway; pair with clamp_mode='q' at
+        sampling so the observed context stays in-distribution).
+      * cond_drop>0 → classifier-free-guidance training: with prob p
+        per sample the g_pred conditioning channel is zeroed, so
+        sampling can extrapolate AWAY from the unconditioned score via
+        `guidance` in ddim_refine.
+      * use_video (VERDICT #7): the frozen V's fused features feed the
+        frozen G exactly as in training/inference; R's conditioning is
+        unchanged (it sees G's output, which already carries the visual
+        information). Pass `frames` as the extra final argument.
     """
-    if cfg.use_video:
-        raise NotImplementedError("refiner stage-2 is audio-only for now")
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(r_state, r_opt, r_ema, g_state, v_state, wav, key):
-        kmask, kt, keps = jax.random.split(key, 3)
+    def train_step(r_state, r_opt, r_ema, g_state, v_state, wav, key,
+                   frames=None):
+        kmask, kt, keps, kdrop = jax.random.split(key, 4)
         batch = preprocess(wav, kmask, cfg)
         G = nnx.merge(g_def, g_state)
-        fake = G(_g_input(batch), None)
+        feats = None
+        if cfg.use_video:
+            V = nnx.merge(v_def, v_state)
+            feats = V(frames)
+        fake = G(_g_input(batch), feats)
         g_img = jax.lax.stop_gradient(fake[..., :1])
+        if cond_drop > 0.0:
+            keep = (jax.random.uniform(kdrop, (wav.shape[0], 1, 1, 1))
+                    >= cond_drop).astype(g_img.dtype)
+            g_img = g_img * keep
         x0 = batch["real_img"]
         m = batch["mask_img"]
         t = jax.random.uniform(kt, (wav.shape[0],))
@@ -115,7 +140,7 @@ def make_refiner_train_step(g_def, v_def, r_def, r_tx, cfg: TrainConfig,
         def loss_fn(r_state):
             R = nnx.merge(r_def, r_state)
             v_hat = R(jnp.concatenate([x_t, cond], axis=-1), t)
-            w = m + hole_weight * (1.0 - m)
+            w = observed_weight * m + hole_weight * (1.0 - m)
             return jnp.sum(w * jnp.square(v_hat - v_target)) / jnp.sum(w)
 
         loss, grads = jax.value_and_grad(loss_fn)(r_state)
@@ -136,7 +161,8 @@ def make_refiner_train_step(g_def, v_def, r_def, r_tx, cfg: TrainConfig,
 
 def ddim_refine(r_def, r_state, g_img: jax.Array, batch: dict,
                 key: jax.Array, steps: int = 8, t_start: float = 0.35,
-                noise_scale: float = 1.0):
+                noise_scale: float = 1.0, guidance: float = 0.0,
+                clamp_mode: str = "x0"):
     """Refine G's compressed magnitude image with truncated DDIM.
 
     SDEdit: diffuse G's output to t_start (x = a·g_img + σ·ε), then run
@@ -153,9 +179,26 @@ def ddim_refine(r_def, r_state, g_img: jax.Array, batch: dict,
     training distribution, but variance-free; an informative sweep arm
     for PSNR-style metrics, which punish sampled detail).
 
+    guidance > 0 enables classifier-free guidance over the g_pred
+    conditioning channel (requires a refiner trained with cond_drop>0):
+    each step evaluates R on a 2B batch — full cond and g_pred-zeroed
+    cond — and extrapolates v = (1+g)·v_cond − g·v_uncond. One R call
+    per step either way (the two arms ride the same MXU matmuls at 2B).
+
+    clamp_mode: 'x0' (default) clamps the OBSERVED region of x̂0 to the
+    known image inside every step — the original SDEdit-style scheme.
+    'q' (RePaint-style) instead re-noises the observed region to the
+    next step's q(x_u | x0): x_next = m·(a_u·obs + σ_u·ε₀) + hole-DDIM
+    — the observed CONTEXT the network sees at time u is exactly its
+    training distribution, which is the right pairing for a refiner
+    trained with observed_weight=0 (hole-only loss; it never learned
+    to denoise the observed region).
+
     Static `steps` → the loop is a lax.scan over a precomputed (t, u)
     ladder; one compiled program, no host sync.
     """
+    if clamp_mode not in ("x0", "q"):
+        raise ValueError(f"unknown clamp_mode: {clamp_mode!r}")
     obs = batch["masked_img"]
     m = batch["mask_img"]
     cond = refiner_cond(batch, g_img)
@@ -164,20 +207,42 @@ def ddim_refine(r_def, r_state, g_img: jax.Array, batch: dict,
     ts = jnp.linspace(t_start, 0.0, steps + 1)
     a0, s0 = ab_coeffs(jnp.full((B,), t_start))
     bshape = (-1,) + (1,) * (g_img.ndim - 1)
-    eps = noise_scale * jax.random.normal(key, g_img.shape)
-    x = a0.reshape(bshape) * g_img + s0.reshape(bshape) * eps
+    eps0 = noise_scale * jax.random.normal(key, g_img.shape)
+    x = a0.reshape(bshape) * g_img + s0.reshape(bshape) * eps0
+    if clamp_mode == "q":
+        x = m * (a0.reshape(bshape) * obs + s0.reshape(bshape) * eps0) \
+            + (1.0 - m) * x
 
     R = nnx.merge(r_def, r_state)
+    if guidance > 0.0:
+        # Uncond arm: zero the g_pred channel (the null token cond_drop
+        # trained with). cond layout: [g_input..., g_pred] — last chan.
+        cond_u = cond.at[..., -1:].set(0.0)
+        cond2 = jnp.concatenate([cond, cond_u], axis=0)
+
+    def predict_v(x, tb):
+        if guidance > 0.0:
+            x2 = jnp.concatenate([x, x], axis=0)
+            v2 = R(jnp.concatenate([x2, cond2], axis=-1),
+                   jnp.concatenate([tb, tb], axis=0))
+            v_c, v_u = v2[:B], v2[B:]
+            return (1.0 + guidance) * v_c - guidance * v_u
+        return R(jnp.concatenate([x, cond], axis=-1), tb)
 
     def step(x, tu):
         t, u = tu
         tb = jnp.full((B,), t)
-        v_hat = R(jnp.concatenate([x, cond], axis=-1), tb)
+        v_hat = predict_v(x, tb)
         x0_hat, eps_hat = x0_eps_from_v(x, v_hat, tb)
-        x0_hat = m * obs + (1.0 - m) * x0_hat
         au, su = ab_coeffs(jnp.full((B,), u))
-        x_next = (au.reshape(bshape) * x0_hat
-                  + su.reshape(bshape) * eps_hat)
+        au, su = au.reshape(bshape), su.reshape(bshape)
+        if clamp_mode == "x0":
+            x0_hat = m * obs + (1.0 - m) * x0_hat
+            x_next = au * x0_hat + su * eps_hat
+        else:  # 'q': hole evolves by DDIM; observed re-noised to q(x_u|x0)
+            x_hole = au * x0_hat + su * eps_hat
+            x_obs = au * obs + su * eps0
+            x_next = m * x_obs + (1.0 - m) * x_hole
         return x_next, None
 
     x, _ = jax.lax.scan(step, x, (ts[:-1], ts[1:]))
@@ -185,3 +250,227 @@ def ddim_refine(r_def, r_state, g_img: jax.Array, batch: dict,
     # inside the last step via eps_hat's consistency; clamp once more
     # for exactness).
     return m * obs + (1.0 - m) * x
+
+
+# ---------------------------------------------------------------------------
+# Complex-domain refiner (round 4, VERDICT r3 next-round #6) — the
+# long-gap phase attack. The measured long-gap ceiling (BENCHMARKS.md
+# oracle row) is a property of GL-CLASS PHASE RECOVERY: perfect hole
+# magnitudes still yield only 3.82 dB waveform SNR over 75-150-frame
+# gaps. A diffusion model over the hole's COMPLEX STFT — (re, im)
+# channels, i.e. magnitude and phase jointly — decoded by a single
+# iSTFT (no Griffin-Lim for the hole at all) is the one design that
+# attacks the ceiling itself rather than the approach to it.
+# ---------------------------------------------------------------------------
+
+def complex_image(wav: jax.Array, cfg: TrainConfig) -> jax.Array:
+    """(B, T) waveform → (B, bins, image_frames, 2) compressed complex
+    STFT image (same layout/padding as preprocess's magnitude images;
+    magnitude log1p-compressed, phase exact — signal.mel.complex_compress)."""
+    re, im = stft(wav, cfg.stft)                  # (B, F, bins)
+    re = jnp.swapaxes(re, -1, -2)                 # (B, bins, F)
+    im = jnp.swapaxes(im, -1, -2)
+    pad = cfg.image_frames - re.shape[-1]
+    re = jnp.pad(re, ((0, 0), (0, 0), (0, pad)))
+    im = jnp.pad(im, ((0, 0), (0, 0), (0, pad)))
+    cre, cim = complex_compress(re, im, cfg.compress_ceiling)
+    return jnp.stack([cre, cim], axis=-1)
+
+
+def complex_refiner_cond(batch: dict, g_img: jax.Array,
+                         cplx: jax.Array) -> jax.Array:
+    """Conditioning stack for the complex-domain refiner.
+
+    [G's input channels (masked mag, mask, [lo]), G's magnitude
+    prediction, MASKED compressed complex (re, im)] — the observed
+    region's exact phase enters through the last two channels, so the
+    network can propagate phase across the hole boundary instead of
+    inferring it from magnitudes alone.
+    """
+    m = batch["mask_img"]
+    return jnp.concatenate([_g_input(batch), g_img, cplx * m], axis=-1)
+
+
+def complex_refiner_channels(input_nc: int) -> tuple[int, int]:
+    """(R in_channels, out_channels) for a G with `input_nc` input
+    channels: x_t (2) + cond (input_nc + g_pred + masked complex 2)."""
+    return 2 + input_nc + 1 + 2, 2
+
+
+def make_complex_refiner_train_step(g_def, v_def, r_def, r_tx,
+                                    cfg: TrainConfig,
+                                    hole_weight: float = 3.0,
+                                    observed_weight: float = 1.0,
+                                    cond_drop: float = 0.0,
+                                    ema_decay: float = 0.999):
+    """Stage-2 training of the COMPLEX-domain refiner (frozen G).
+
+    Identical schedule/parameterization to the magnitude refiner
+    (cosine ᾱ, v-prediction, EMA); x0 is the 2-channel compressed
+    complex image and the loss is the hole-weighted v-MSE over both
+    channels. The mask is frame-granular, so phase and magnitude are
+    equally unknown in the hole — exactly the information the composite
+    decode needs.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(r_state, r_opt, r_ema, g_state, v_state, wav, key,
+                   frames=None):
+        kmask, kt, keps, kdrop = jax.random.split(key, 4)
+        batch = preprocess(wav, kmask, cfg)
+        G = nnx.merge(g_def, g_state)
+        feats = None
+        if cfg.use_video:
+            V = nnx.merge(v_def, v_state)
+            feats = V(frames)
+        fake = G(_g_input(batch), feats)
+        g_img = jax.lax.stop_gradient(fake[..., :1])
+        if cond_drop > 0.0:
+            keep = (jax.random.uniform(kdrop, (wav.shape[0], 1, 1, 1))
+                    >= cond_drop).astype(g_img.dtype)
+            g_img = g_img * keep
+        x0 = complex_image(wav, cfg)               # (B, bins, T, 2)
+        m = batch["mask_img"]
+        t = jax.random.uniform(kt, (wav.shape[0],))
+        eps = jax.random.normal(keps, x0.shape)
+        x_t, v_target = q_sample(x0, t, eps)
+        cond = complex_refiner_cond(batch, g_img, x0)
+
+        def loss_fn(r_state):
+            R = nnx.merge(r_def, r_state)
+            v_hat = R(jnp.concatenate([x_t, cond], axis=-1), t)
+            w = observed_weight * m + hole_weight * (1.0 - m)
+            return jnp.sum(w * jnp.square(v_hat - v_target)) / jnp.sum(w)
+
+        loss, grads = jax.value_and_grad(loss_fn)(r_state)
+        updates, r_opt = r_tx.update(grads, r_opt, r_state)
+        r_state = optax.apply_updates(r_state, updates)
+        r_ema = jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            r_ema, r_state,
+        )
+        return r_state, r_opt, r_ema, {"loss_R": loss}
+
+    return train_step
+
+
+def ddim_refine_complex(r_def, r_state, g_img: jax.Array, batch: dict,
+                        cplx: jax.Array, key: jax.Array, steps: int = 8,
+                        t_start: float = 1.0, noise_scale: float = 1.0,
+                        guidance: float = 0.0, clamp_mode: str = "x0"):
+    """DDIM over the compressed complex image; → refined complex image.
+
+    `cplx` is the full compressed complex image of the INPUT waveform
+    (observed region exact; hole garbage/zero — at eval the input is
+    the clean wav and the hole must not leak, so the observed clamp and
+    the conditioning both multiply by the mask). t_start defaults to
+    1.0 (full generation): unlike the magnitude domain there is no
+    G-predicted starting point for phase, so the hole is sampled from
+    the prior under observed-context clamping. g_img still conditions
+    (magnitude guidance).
+    """
+    if clamp_mode not in ("x0", "q"):
+        raise ValueError(f"unknown clamp_mode: {clamp_mode!r}")
+    m = batch["mask_img"]
+    obs = cplx * m                              # known region, 0 in hole
+    cond = complex_refiner_cond(batch, g_img, cplx)
+    B = g_img.shape[0]
+    bshape = (-1,) + (1,) * (cplx.ndim - 1)
+
+    ts = jnp.linspace(t_start, 0.0, steps + 1)
+    a0, s0 = ab_coeffs(jnp.full((B,), t_start))
+    eps0 = noise_scale * jax.random.normal(key, cplx.shape)
+    # Start the hole from the magnitude prior G provides: G's predicted
+    # magnitude with ZERO phase is the best phase-free x0 estimate; at
+    # t_start=1 a0≈0 so this reduces to pure noise anyway.
+    x_init = obs + (1.0 - m) * _mag_only_complex(g_img)
+    x = a0.reshape(bshape) * x_init + s0.reshape(bshape) * eps0
+
+    R = nnx.merge(r_def, r_state)
+    if guidance > 0.0:
+        # Uncond arm: zero g_pred (channel right before the 2 masked-
+        # complex channels in complex_refiner_cond's layout).
+        cond_u = cond.at[..., -3:-2].set(0.0)
+        cond2 = jnp.concatenate([cond, cond_u], axis=0)
+
+    def predict_v(x, tb):
+        if guidance > 0.0:
+            x2 = jnp.concatenate([x, x], axis=0)
+            v2 = R(jnp.concatenate([x2, cond2], axis=-1),
+                   jnp.concatenate([tb, tb], axis=0))
+            return (1.0 + guidance) * v2[:B] - guidance * v2[B:]
+        return R(jnp.concatenate([x, cond], axis=-1), tb)
+
+    def step(x, tu):
+        t, u = tu
+        tb = jnp.full((B,), t)
+        v_hat = predict_v(x, tb)
+        x0_hat, eps_hat = x0_eps_from_v(x, v_hat, tb)
+        au, su = ab_coeffs(jnp.full((B,), u))
+        au, su = au.reshape(bshape), su.reshape(bshape)
+        if clamp_mode == "x0":
+            x0_hat = m * obs + (1.0 - m) * x0_hat
+            x_next = au * x0_hat + su * eps_hat
+        else:
+            x_hole = au * x0_hat + su * eps_hat
+            x_obs = au * obs + su * eps0
+            x_next = m * x_obs + (1.0 - m) * x_hole
+        return x_next, None
+
+    x, _ = jax.lax.scan(step, x, (ts[:-1], ts[1:]))
+    return m * obs + (1.0 - m) * x
+
+
+def _mag_only_complex(g_img: jax.Array) -> jax.Array:
+    """G's [-1,1] compressed magnitude image → zero-phase compressed
+    complex channels (re = |c| compressed to [0,1], im = 0)."""
+    cmag = jnp.clip((g_img[..., 0] + 1.0) * 0.5, 0.0, 1.0)
+    return jnp.stack([cmag, jnp.zeros_like(cmag)], axis=-1)
+
+
+def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
+                                  cfg: TrainConfig, steps: int = 8,
+                                  t_start: float = 1.0,
+                                  noise_scale: float = 1.0,
+                                  guidance: float = 0.0,
+                                  clamp_mode: str = "x0",
+                                  external_mask: bool = False):
+    """jit'd (g_state, v_state, wav, key_or_mask, frames) → waveform.
+
+    The GL-free serving chain: STFT → mask → G (magnitude conditioning)
+    → complex-domain DDIM for the hole → composite complex spectrogram
+    (observed region VERBATIM — exact magnitude and phase) → one iSTFT.
+    Same signature as train.step.make_infer_fn so test.py/serving can
+    swap it in via --refiner_domain complex.
+    """
+    from .step import preprocess_with_mask
+
+    @jax.jit
+    def infer(g_state, v_state, wav, key_or_mask, frames=None):
+        if external_mask:
+            batch = preprocess_with_mask(wav, key_or_mask, cfg)
+            knoise = jax.random.key(0)
+        else:
+            batch = preprocess(wav, key_or_mask, cfg)
+            knoise = jax.random.fold_in(key_or_mask, 0xC0)
+        G = nnx.merge(g_def, g_state)
+        feats = None
+        if cfg.use_video:
+            V = nnx.merge(v_def, v_state)
+            feats = V(frames)
+        fake = G(_g_input(batch), feats)
+        g_img = fake[..., :1]
+        cplx = complex_image(wav, cfg)
+        refined = ddim_refine_complex(
+            r_def, r_state, g_img, batch, cplx, knoise, steps=steps,
+            t_start=t_start, noise_scale=noise_scale, guidance=guidance,
+            clamp_mode=clamp_mode,
+        )
+        re, im = complex_decompress(refined[..., 0], refined[..., 1],
+                                    cfg.compress_ceiling)
+        n_frames = cfg.stft.num_frames(wav.shape[-1])
+        re = jnp.swapaxes(re[..., :n_frames], -1, -2)   # (B, F, bins)
+        im = jnp.swapaxes(im[..., :n_frames], -1, -2)
+        return istft(re, im, cfg.stft, length=wav.shape[-1])
+
+    return infer

@@ -398,7 +398,8 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                   phase_aware: bool = True, phase_init: str = "auto",
                   mag_sharpen: float = 1.0, oracle_mag: bool = False,
                   refiner=None, refine_steps: int = 8,
-                  refine_t: float = 0.35, refine_noise: float = 1.0):
+                  refine_t: float = 0.35, refine_noise: float = 1.0,
+                  refine_guidance: float = 0.0, refine_clamp: str = "x0"):
     """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
 
     Full chain: STFT → mask → G inpaint → composite (observed region is
@@ -486,7 +487,8 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
             refined = ddim_refine(
                 r_def, r_state, fake[..., :1], batch, knoise,
                 steps=refine_steps, t_start=refine_t,
-                noise_scale=refine_noise,
+                noise_scale=refine_noise, guidance=refine_guidance,
+                clamp_mode=refine_clamp,
             )
             fake = jnp.concatenate([refined, fake[..., 1:]], axis=-1)
         fake_mag = decompress(fake[..., 0], cfg.compress_ceiling)
