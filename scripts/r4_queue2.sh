@@ -4,7 +4,7 @@
 #
 # Trains a second 40k refiner with observed_weight=0 (all capacity on
 # the hole) + cond_drop 0.1, saved under a SEPARATE experiment name
-# (gatestack checkpoints copied so test.py finds G+R under one --name;
+# (retargeted at beststack40 40k per the r4_queue4 result; G/D copied so test.py finds G+R under one --name;
 # hard-link to avoid 2x disk). Eval pairs it with --refine_clamp q
 # (RePaint-style observed re-noising — the in-distribution context for
 # a hole-only model) and sweeps t_start / guidance.
@@ -15,17 +15,17 @@ set -x
 CKPT=/root/repo/checkpoints
 # Separate experiment dir with hard-linked G so net_R files don't clash
 # with queue1's.
-mkdir -p $CKPT/gatestack_ho
-for f in 20000_net_G.pth 20000_net_D.pth opt.txt; do
-  ln -f $CKPT/gatestack/$f $CKPT/gatestack_ho/$f 2>/dev/null
+mkdir -p $CKPT/bs40r_ho
+for f in 40000_net_G.pth 40000_net_D.pth opt.txt; do
+  ln -f $CKPT/beststack40/$f $CKPT/bs40r_ho/$f 2>/dev/null
 done
 
-BASE="--name gatestack_ho --checkpoints_dir $CKPT --bottleneck_dilation 1,2,4 --gated"
-EVAL="$BASE --results_dir /tmp/r4q2_res --dataset_mode synthetic_notes --how_many 16 --gl_backend pallas --which_epoch 20000 --refiner --refine_clamp q"
+BASE="--name bs40r_ho --checkpoints_dir $CKPT --bottleneck_dilation 1,2,4 --gated"
+EVAL="$BASE --results_dir /tmp/r4q2_res --dataset_mode synthetic_notes --how_many 16 --gl_backend pallas --which_epoch 40000 --refiner --refine_clamp q"
 
 timeout 10800 python scripts/train_refiner.py --steps 40000 --batch 32 --notes \
-    $BASE --which_epoch 20000 --observed_weight 0.0 --cond_drop 0.1 --milestone 10000 \
-  && test -f $CKPT/gatestack_ho/40000_net_R.pth \
+    $BASE --which_epoch 40000 --observed_weight 0.0 --cond_drop 0.1 --milestone 10000 \
+  && test -f $CKPT/bs40r_ho/40000_net_R.pth \
   && timeout 1500 python test.py $EVAL --refine_t 0.35 --refine_steps 8  --log_results r4q2_ho_q_t035_s8 \
   && timeout 1500 python test.py $EVAL --refine_t 0.20 --refine_steps 8  --log_results r4q2_ho_q_t020_s8 \
   && timeout 1500 python test.py $EVAL --refine_t 1.00 --refine_steps 16 --log_results r4q2_ho_q_t100_s16 \
