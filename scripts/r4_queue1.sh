@@ -38,4 +38,6 @@ timeout 10800 python scripts/train_refiner.py --steps 40000 --batch 32 --notes \
   && timeout 1500 python test.py $EVAL --refine_t 0.35 --refine_steps 8 --refine_guidance 1.0 --log_results r4q1_ema_t035_s8_g1 \
   && timeout 1500 python test.py $EVAL --refine_t 0.35 --refine_steps 8 --refine_guidance 2.0 --log_results r4q1_ema_t035_s8_g2 \
   && timeout 1500 python test.py $EVAL --refine_t 0.35 --refine_steps 8 --refine_noise 0.0 --log_results r4q1_ema_t035_s8_det \
+  && timeout 1500 python test.py $EVAL --refine_t 0.35 --refine_steps 8 --refine_resample 2 --log_results r4q1_ema_t035_s8_rs2 \
+  && timeout 2400 python test.py $EVAL --refine_t 0.35 --refine_steps 8 --eval_samples 4 --log_results r4q1_ema_t035_s8_bo4 \
   && echo R4_QUEUE1_DONE

@@ -54,12 +54,30 @@ def main(args=None):
     model = create_model(opt)
     model.load_networks(opt.which_epoch)
 
+    # --eval_samples K > 1: best-of-K posterior sampling (refiner only —
+    # the G+GL chain is deterministic given the mask). Each sample is
+    # the SAME inpainting task under a decoupled refiner-noise stream;
+    # per-clip the best hole-PSNR sample is kept. The gap between
+    # best-of-K and single-sample separates "the diffusion model can't
+    # represent the posterior" from "mean-PSNR punishes sampling from a
+    # multimodal posterior" (round-4 attribution arm).
+    n_samples = int(getattr(opt, "eval_samples", 1))
+    if n_samples > 1 and model.r_def is None:
+        print("[test] --eval_samples needs --refiner (chain is "
+              "deterministic without it); falling back to 1 sample")
+        n_samples = 1
+    infer_fns = [model.infer_fn]
+    if n_samples > 1:
+        infer_fns += [model._build_infer_fn(noise_fold=s)
+                      for s in range(1, n_samples)]
+
     results_dir = os.path.join(
         opt.results_dir, opt.name, f"{opt.phase}_{opt.which_epoch}"
     )
     gallery = HTMLGallery(results_dir, f"{opt.name} — epoch {opt.which_epoch}")
 
     all_psnr, all_hole_psnr, all_snr, all_sc = [], [], [], []
+    all_hole_psnr_s1 = []   # first-sample hole-PSNR (best-of-K runs)
     n_done = 0
     key = jax.random.key(opt.seed)
     for batch in loader:
@@ -68,25 +86,43 @@ def main(args=None):
         key, kmask, kgl = jax.random.split(key, 3)
         model.set_input(batch)
         wav_in = model._input["wav"]
-        out_wav = model.infer_fn(
-            model.state["g"], model.state["v"], wav_in, kmask,
-            model._input["frames"],
-        )
         # Metrics: spectrogram PSNR (full + hole-only) and waveform SNR.
         pre = preprocess(wav_in, kmask, model.cfg)
-        out_mag = stft_magnitude(out_wav, model.cfg.stft)
         in_mag = stft_magnitude(wav_in, model.cfg.stft)
         from ..signal.mel import compress
 
-        out_img = compress(jnp.swapaxes(out_mag, -1, -2))[..., None]
         in_img = compress(jnp.swapaxes(in_mag, -1, -2))[..., None]
         n_fr = in_img.shape[2]
         m = pre["mask_img"][:, :, :n_fr]
-        b_psnr = np.asarray(psnr(out_img, in_img))
-        b_hole = np.asarray(masked_psnr(out_img, in_img, m))
-        b_snr = np.asarray(snr(out_wav, wav_in))
-        b_sc = np.asarray(spectral_convergence(out_wav, wav_in,
-                                               model.cfg.stft))
+
+        cand = []   # per sample: (hole, psnr, snr, sc, wav, img)
+        for fn in infer_fns:
+            out_wav = fn(
+                model.state["g"], model.state["v"], wav_in, kmask,
+                model._input["frames"],
+            )
+            out_mag = stft_magnitude(out_wav, model.cfg.stft)
+            out_img = compress(jnp.swapaxes(out_mag, -1, -2))[..., None]
+            cand.append((
+                np.asarray(masked_psnr(out_img, in_img, m)),
+                np.asarray(psnr(out_img, in_img)),
+                np.asarray(snr(out_wav, wav_in)),
+                np.asarray(spectral_convergence(out_wav, wav_in,
+                                                model.cfg.stft)),
+                out_wav, out_img,
+            ))
+        if len(cand) == 1:
+            b_hole, b_psnr, b_snr, b_sc, out_wav, out_img = cand[0]
+        else:
+            holes = np.stack([c[0] for c in cand])       # (S, B)
+            best = holes.argmax(axis=0)                  # (B,)
+            pick = lambda i: np.stack(
+                [np.asarray(cand[best[b]][i])[b]
+                 for b in range(holes.shape[1])])
+            b_hole, b_psnr, b_snr, b_sc = (pick(0), pick(1), pick(2),
+                                           pick(3))
+            out_wav, out_img = pick(4), pick(5)
+            all_hole_psnr_s1 += list(holes[0])
         all_psnr += list(b_psnr)
         all_hole_psnr += list(b_hole)
         all_snr += list(b_snr)
@@ -126,6 +162,11 @@ def main(args=None):
         "snr_mean": float(np.mean(all_snr)) if all_snr else float("nan"),
         "spec_conv_mean": float(np.mean(all_sc)) if all_sc else float("nan"),
     }
+    if n_samples > 1:
+        summary["eval_samples"] = n_samples
+        summary["hole_psnr_s1_mean"] = (
+            float(np.mean(all_hole_psnr_s1)) if all_hole_psnr_s1
+            else float("nan"))
     print(f"results → {path}")
     print(
         f"PSNR {summary['psnr_mean']:.2f} dB | hole-PSNR "

@@ -293,6 +293,18 @@ class TestOptions(BaseOptions):
                             "g_pred conditioning channel (requires a "
                             "refiner trained with --cond_drop > 0); "
                             "0 = off")
+        p.add_argument("--eval_samples", type=int, default=1,
+                       help="best-of-K posterior sampling at eval "
+                            "(refiner only): run K decoupled-noise "
+                            "refinements per clip, keep the best "
+                            "hole-PSNR one; logs hole_psnr_s1_mean "
+                            "(first sample) beside the best-of-K mean "
+                            "— the posterior-coverage diagnostic")
+        p.add_argument("--refine_resample", type=int, default=0,
+                       help="RePaint time-travel rounds per DDIM step "
+                            "(each round re-noises u back to t and "
+                            "re-denoises; (N+1)x network calls); 0 = "
+                            "off")
         p.add_argument("--refine_clamp", type=str, default="x0",
                        choices=["x0", "q"],
                        help="observed-region handling inside DDIM: "

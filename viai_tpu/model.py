@@ -204,11 +204,15 @@ class VIAIModel:
         self._last_step_key = None   # step key of the latest train step
         self._vis_infer = None       # lazy external-mask infer for visuals
 
-    def _build_infer_fn(self):
+    def _build_infer_fn(self, noise_fold: int | None = None):
+        """noise_fold != None builds an infer fn whose refiner noise
+        stream is decoupled from the mask key — K distinct folds give K
+        posterior samples of the SAME task (test.py --eval_samples)."""
         opt = self.opt
         if self.r_def is not None and self._refiner_domain == "complex":
             from .train.diffusion import make_complex_refiner_infer_fn
 
+            kw = {} if noise_fold is None else {"noise_fold": 0xC0 + noise_fold}
             return make_complex_refiner_infer_fn(
                 self.g_def, self.v_def, self.r_def, self._r_state,
                 self.cfg,
@@ -217,7 +221,10 @@ class VIAIModel:
                 noise_scale=getattr(opt, "refine_noise", 1.0),
                 guidance=getattr(opt, "refine_guidance", 0.0),
                 clamp_mode=getattr(opt, "refine_clamp", "x0"),
+                resample=getattr(opt, "refine_resample", 0),
+                **kw,
             )
+        kw = {} if noise_fold is None else {"noise_fold": 0x5EED + noise_fold}
         return make_infer_fn(
             self.g_def, self.v_def, self.cfg,
             n_gl_iter=getattr(opt, "gl_iters", 32),
@@ -234,6 +241,8 @@ class VIAIModel:
             refine_noise=getattr(opt, "refine_noise", 1.0),
             refine_guidance=getattr(opt, "refine_guidance", 0.0),
             refine_clamp=getattr(opt, "refine_clamp", "x0"),
+            refine_resample=getattr(opt, "refine_resample", 0),
+            **kw,
         )
 
     @property

@@ -74,6 +74,7 @@ class InpaintService:
         refine_noise: float = 1.0,
         refine_guidance: float = 0.0,
         refine_clamp: str = "x0",
+        refine_resample: int = 0,
     ):
         """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
         bucket batch over the 'data' axis — DP serving across chips,
@@ -116,7 +117,8 @@ class InpaintService:
                 g_def, v_def, refiner[0], refiner[1], cfg,
                 steps=refine_steps, t_start=refine_t,
                 noise_scale=refine_noise, guidance=refine_guidance,
-                clamp_mode=refine_clamp, external_mask=True,
+                clamp_mode=refine_clamp, resample=refine_resample,
+                external_mask=True,
             )
         else:
             self._infer = make_infer_fn(
@@ -127,6 +129,7 @@ class InpaintService:
                 refine_t=refine_t, refine_noise=refine_noise,
                 refine_guidance=refine_guidance,
                 refine_clamp=refine_clamp,
+                refine_resample=refine_resample,
             )
         self.stats = ServiceStats()
         import threading

@@ -162,7 +162,7 @@ def make_refiner_train_step(g_def, v_def, r_def, r_tx, cfg: TrainConfig,
 def ddim_refine(r_def, r_state, g_img: jax.Array, batch: dict,
                 key: jax.Array, steps: int = 8, t_start: float = 0.35,
                 noise_scale: float = 1.0, guidance: float = 0.0,
-                clamp_mode: str = "x0"):
+                clamp_mode: str = "x0", resample: int = 0):
     """Refine G's compressed magnitude image with truncated DDIM.
 
     SDEdit: diffuse G's output to t_start (x = a·g_img + σ·ε), then run
@@ -194,8 +194,20 @@ def ddim_refine(r_def, r_state, g_img: jax.Array, batch: dict,
     trained with observed_weight=0 (hole-only loss; it never learned
     to denoise the observed region).
 
+    resample > 0 enables RePaint-style time-travel (Lugmayr et al.
+    2022): each ladder step (t → u) is preceded by `resample` rounds of
+    [denoise t→u, re-noise u→t with fresh ε] before the final descent.
+    Re-noising the jointly-evolved x gives the network `resample` extra
+    chances to harmonize the hole with its context at every noise
+    level — the strongest known eval-time lever for diffusion
+    inpainting, at (resample+1)× the network calls. The re-noise ε is
+    scaled by noise_scale so noise_scale=0 stays fully deterministic.
+    Composes with both clamp modes ('q' re-clamps the observed region
+    to q(x_t | x0) after every jump back up).
+
     Static `steps` → the loop is a lax.scan over a precomputed (t, u)
-    ladder; one compiled program, no host sync.
+    ladder; resampling is an inner lax.fori_loop, so the traced program
+    stays two network calls regardless of steps × resample.
     """
     if clamp_mode not in ("x0", "q"):
         raise ValueError(f"unknown clamp_mode: {clamp_mode!r}")
@@ -229,8 +241,7 @@ def ddim_refine(r_def, r_state, g_img: jax.Array, batch: dict,
             return (1.0 + guidance) * v_c - guidance * v_u
         return R(jnp.concatenate([x, cond], axis=-1), tb)
 
-    def step(x, tu):
-        t, u = tu
+    def denoise(x, t, u):
         tb = jnp.full((B,), t)
         v_hat = predict_v(x, tb)
         x0_hat, eps_hat = x0_eps_from_v(x, v_hat, tb)
@@ -238,14 +249,36 @@ def ddim_refine(r_def, r_state, g_img: jax.Array, batch: dict,
         au, su = au.reshape(bshape), su.reshape(bshape)
         if clamp_mode == "x0":
             x0_hat = m * obs + (1.0 - m) * x0_hat
-            x_next = au * x0_hat + su * eps_hat
-        else:  # 'q': hole evolves by DDIM; observed re-noised to q(x_u|x0)
-            x_hole = au * x0_hat + su * eps_hat
-            x_obs = au * obs + su * eps0
-            x_next = m * x_obs + (1.0 - m) * x_hole
-        return x_next, None
+            return au * x0_hat + su * eps_hat
+        # 'q': hole evolves by DDIM; observed re-noised to q(x_u|x0)
+        x_hole = au * x0_hat + su * eps_hat
+        x_obs = au * obs + su * eps0
+        return m * x_obs + (1.0 - m) * x_hole
 
-    x, _ = jax.lax.scan(step, x, (ts[:-1], ts[1:]))
+    def step(x, tui):
+        t, u, i = tui
+        if resample > 0:
+            def travel(j, x):
+                x = denoise(x, t, u)
+                # Jump back up u → t: x_t = √(ᾱt/ᾱu)·x_u + √(1−ᾱt/ᾱu)·ε
+                ratio = jnp.clip(
+                    alpha_bar(t) / jnp.maximum(alpha_bar(u), 1e-12),
+                    0.0, 1.0)
+                eps = noise_scale * jax.random.normal(
+                    jax.random.fold_in(jax.random.fold_in(key, i), j + 1),
+                    x.shape)
+                x = jnp.sqrt(ratio) * x + jnp.sqrt(1.0 - ratio) * eps
+                if clamp_mode == "q":
+                    at, st = ab_coeffs(jnp.full((B,), t))
+                    x = m * (at.reshape(bshape) * obs
+                             + st.reshape(bshape) * eps0) + (1.0 - m) * x
+                return x
+
+            x = jax.lax.fori_loop(0, resample, travel, x)
+        return denoise(x, t, u), None
+
+    x, _ = jax.lax.scan(step, x, (ts[:-1], ts[1:],
+                                  jnp.arange(steps, dtype=jnp.uint32)))
     # At u = 0: a = 1, σ = 0 → x IS x̂0 (already observation-clamped
     # inside the last step via eps_hat's consistency; clamp once more
     # for exactness).
@@ -357,7 +390,8 @@ def make_complex_refiner_train_step(g_def, v_def, r_def, r_tx,
 def ddim_refine_complex(r_def, r_state, g_img: jax.Array, batch: dict,
                         cplx: jax.Array, key: jax.Array, steps: int = 8,
                         t_start: float = 1.0, noise_scale: float = 1.0,
-                        guidance: float = 0.0, clamp_mode: str = "x0"):
+                        guidance: float = 0.0, clamp_mode: str = "x0",
+                        resample: int = 0):
     """DDIM over the compressed complex image; → refined complex image.
 
     `cplx` is the full compressed complex image of the INPUT waveform
@@ -401,8 +435,7 @@ def ddim_refine_complex(r_def, r_state, g_img: jax.Array, batch: dict,
             return (1.0 + guidance) * v2[:B] - guidance * v2[B:]
         return R(jnp.concatenate([x, cond], axis=-1), tb)
 
-    def step(x, tu):
-        t, u = tu
+    def denoise(x, t, u):
         tb = jnp.full((B,), t)
         v_hat = predict_v(x, tb)
         x0_hat, eps_hat = x0_eps_from_v(x, v_hat, tb)
@@ -410,14 +443,34 @@ def ddim_refine_complex(r_def, r_state, g_img: jax.Array, batch: dict,
         au, su = au.reshape(bshape), su.reshape(bshape)
         if clamp_mode == "x0":
             x0_hat = m * obs + (1.0 - m) * x0_hat
-            x_next = au * x0_hat + su * eps_hat
-        else:
-            x_hole = au * x0_hat + su * eps_hat
-            x_obs = au * obs + su * eps0
-            x_next = m * x_obs + (1.0 - m) * x_hole
-        return x_next, None
+            return au * x0_hat + su * eps_hat
+        x_hole = au * x0_hat + su * eps_hat
+        x_obs = au * obs + su * eps0
+        return m * x_obs + (1.0 - m) * x_hole
 
-    x, _ = jax.lax.scan(step, x, (ts[:-1], ts[1:]))
+    def step(x, tui):
+        t, u, i = tui
+        if resample > 0:  # RePaint time-travel — see ddim_refine
+            def travel(j, x):
+                x = denoise(x, t, u)
+                ratio = jnp.clip(
+                    alpha_bar(t) / jnp.maximum(alpha_bar(u), 1e-12),
+                    0.0, 1.0)
+                eps = noise_scale * jax.random.normal(
+                    jax.random.fold_in(jax.random.fold_in(key, i), j + 1),
+                    x.shape)
+                x = jnp.sqrt(ratio) * x + jnp.sqrt(1.0 - ratio) * eps
+                if clamp_mode == "q":
+                    at, st = ab_coeffs(jnp.full((B,), t))
+                    x = m * (at.reshape(bshape) * obs
+                             + st.reshape(bshape) * eps0) + (1.0 - m) * x
+                return x
+
+            x = jax.lax.fori_loop(0, resample, travel, x)
+        return denoise(x, t, u), None
+
+    x, _ = jax.lax.scan(step, x, (ts[:-1], ts[1:],
+                                  jnp.arange(steps, dtype=jnp.uint32)))
     return m * obs + (1.0 - m) * x
 
 
@@ -434,7 +487,9 @@ def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
                                   noise_scale: float = 1.0,
                                   guidance: float = 0.0,
                                   clamp_mode: str = "x0",
-                                  external_mask: bool = False):
+                                  resample: int = 0,
+                                  external_mask: bool = False,
+                                  noise_fold: int = 0xC0):
     """jit'd (g_state, v_state, wav, key_or_mask, frames) → waveform.
 
     The GL-free serving chain: STFT → mask → G (magnitude conditioning)
@@ -447,12 +502,14 @@ def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
 
     @jax.jit
     def infer(g_state, v_state, wav, key_or_mask, frames=None):
+        # noise_fold: see train.step.make_infer_fn — distinct folds give
+        # distinct posterior samples of the same task (--eval_samples).
         if external_mask:
             batch = preprocess_with_mask(wav, key_or_mask, cfg)
-            knoise = jax.random.key(0)
+            knoise = jax.random.key(noise_fold - 0xC0)
         else:
             batch = preprocess(wav, key_or_mask, cfg)
-            knoise = jax.random.fold_in(key_or_mask, 0xC0)
+            knoise = jax.random.fold_in(key_or_mask, noise_fold)
         G = nnx.merge(g_def, g_state)
         feats = None
         if cfg.use_video:
@@ -464,7 +521,7 @@ def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
         refined = ddim_refine_complex(
             r_def, r_state, g_img, batch, cplx, knoise, steps=steps,
             t_start=t_start, noise_scale=noise_scale, guidance=guidance,
-            clamp_mode=clamp_mode,
+            clamp_mode=clamp_mode, resample=resample,
         )
         re, im = complex_decompress(refined[..., 0], refined[..., 1],
                                     cfg.compress_ceiling)

@@ -399,7 +399,8 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                   mag_sharpen: float = 1.0, oracle_mag: bool = False,
                   refiner=None, refine_steps: int = 8,
                   refine_t: float = 0.35, refine_noise: float = 1.0,
-                  refine_guidance: float = 0.0, refine_clamp: str = "x0"):
+                  refine_guidance: float = 0.0, refine_clamp: str = "x0",
+                  refine_resample: int = 0, noise_fold: int = 0x5EED):
     """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
 
     Full chain: STFT → mask → G inpaint → composite (observed region is
@@ -482,13 +483,18 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
             from .diffusion import ddim_refine
 
             r_def, r_state = refiner
-            knoise = (jax.random.key(0) if external_mask
-                      else jax.random.fold_in(key_or_mask, 0x5EED))
+            # noise_fold decouples the refiner's sampling noise from the
+            # mask key: building K infer fns with distinct folds yields
+            # K posterior samples of the SAME inpainting task (test.py
+            # --eval_samples, the best-of-K posterior-coverage
+            # diagnostic). Default reproduces the original stream.
+            knoise = (jax.random.key(noise_fold - 0x5EED) if external_mask
+                      else jax.random.fold_in(key_or_mask, noise_fold))
             refined = ddim_refine(
                 r_def, r_state, fake[..., :1], batch, knoise,
                 steps=refine_steps, t_start=refine_t,
                 noise_scale=refine_noise, guidance=refine_guidance,
-                clamp_mode=refine_clamp,
+                clamp_mode=refine_clamp, resample=refine_resample,
             )
             fake = jnp.concatenate([refined, fake[..., 1:]], axis=-1)
         fake_mag = decompress(fake[..., 0], cfg.compress_ceiling)
