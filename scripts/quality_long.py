@@ -65,6 +65,13 @@ def main():
                          "mask is pinned to the corpus gap. Use with "
                          "--model av vs --model audio for the fusion-"
                          "edge comparison")
+    ap.add_argument("--resume_step", type=int, default=0,
+                    help="resume from a {N}_state orbax checkpoint in "
+                         "the experiment dir (full train state: params "
+                         "+ optimizer + schedule); continues to "
+                         "--steps. Added after a TPU-relay hang killed "
+                         "a 40k run at 13.5k (ADVICE r3: no-resume "
+                         "retries already burned queue19C/queue20)")
     ap.add_argument("--seed", type=int, default=0)
     # Onset-limiter levers (round-3): see nn/losses.py + generator.py.
     ap.add_argument("--lambda_sc", type=float, default=0.0)
@@ -121,6 +128,11 @@ def main():
       + (["--phase_head"] if args.phase_head else [])
       + (["--long_gap"] if args.long_gap else []))
     model = VIAIModel(opt)
+    start = 0
+    if args.resume_step:
+        model.load_networks(str(args.resume_step))
+        start = args.resume_step
+        print(f"resumed full train state @ {start}", flush=True)
 
     # Device-resident clip pool, uploaded once.
     use_av = args.model == "av"
@@ -149,9 +161,11 @@ def main():
           f"{' (+frames)' if use_av else ''}", flush=True)
 
     key = jax.random.key(args.seed + 2)
+    if start:
+        key = jax.random.fold_in(key, start)  # decorrelate resumed stream
     t0 = time.perf_counter()
     losses = {}
-    for i in range(args.steps):
+    for i in range(start, args.steps):
         key, sub = jax.random.split(key)
         wav_i, fr_i, fv_i = pool[i % args.pool_batches]
         model.state, losses = model.train_step(
@@ -160,7 +174,7 @@ def main():
         step = i + 1
         if step % 500 == 0:
             l1 = float(losses["loss_G_L1"])   # forces a sync point
-            rate = step / (time.perf_counter() - t0)
+            rate = (step - start) / (time.perf_counter() - t0)
             print(f"step {step}/{args.steps}  L1 {l1:.5f}  "
                   f"{rate:.1f} steps/s", flush=True)
         if step % args.milestone == 0:
@@ -181,8 +195,9 @@ def main():
         "bottleneck_attn": args.bottleneck_attn,
         "ngf": args.ngf,
         "pool_clips": args.pool_batches * args.batch,
+        "resume_step": start,
         "final_l1": round(float(losses["loss_G_L1"]), 6),
-        "train_clips_per_s": round(args.steps * args.batch / dt, 1),
+        "train_clips_per_s": round((args.steps - start) * args.batch / dt, 1),
         "expr_dir": model.expr_dir, "t": time.time(),
     }
     out = os.path.join(os.path.dirname(__file__), "quality_results.jsonl")

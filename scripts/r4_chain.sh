@@ -13,6 +13,18 @@
 echo $$ > /tmp/q_r4_chain.pid
 cd /root/repo || exit 1
 
+# Wait for the TPU relay to answer a real compute RPC before starting
+# (the 03:51 relay hang wedged a 40k run mid-step; devices() alone can
+# succeed while compute hangs, so probe with an actual matmul).
+until timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256)); assert float((x @ x).sum()) > 0
+print('tpu probe ok')
+" 2>/dev/null; do
+  echo "$(date -u +%H:%M:%S) tpu probe failed; retrying in 60s"
+  sleep 60
+done
+
 bash scripts/r4_queue4.sh > /tmp/r4q4.log 2>&1
 echo "=== queue4 rc=$? ==="
 bash scripts/r4_queue1.sh > /tmp/r4q1.log 2>&1

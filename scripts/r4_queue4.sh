@@ -18,9 +18,19 @@ CKPT=/root/repo/checkpoints
 BASE="--name beststack40 --checkpoints_dir $CKPT --bottleneck_dilation 1,2,4 --gated"
 EVAL="$BASE --results_dir /tmp/r4q4_res --dataset_mode synthetic_notes --how_many 16 --gl_backend pallas"
 
+# Resume from the newest saved {N}_state milestone if one exists (the
+# 03:51 relay hang killed the first attempt at 13.5k with a 10k state
+# on disk; quality_long.py gained --resume_step for exactly this).
+RESUME=0
+for s in 30000 20000 10000; do
+  if [ -d $CKPT/beststack40/${s}_state ]; then RESUME=$s; break; fi
+done
+echo "queue4 resume_step=$RESUME"
+
 timeout 18000 python scripts/quality_long.py --steps 40000 --batch 32 --notes \
     --gated --bottleneck_dilation 1,2,4 --lambda_onset 50 \
     --name beststack40 --checkpoints_dir $CKPT --milestone 10000 \
+    --resume_step $RESUME \
   && test -f $CKPT/beststack40/40000_net_G.pth \
   && timeout 1500 python test.py $EVAL --which_epoch 40000 --log_results r4q4_beststack_40k_retrain \
   && echo R4_QUEUE4_DONE

@@ -64,6 +64,9 @@ def main():
                     help="per-sample prob of zeroing the g_pred cond "
                          "channel (classifier-free-guidance training)")
     ap.add_argument("--rngf", type=int, default=64, help="refiner width")
+    ap.add_argument("--resume_step", type=int, default=0,
+                    help="resume from the R{N}_state orbax checkpoint "
+                         "(R + Adam + EMA); continues to --steps")
     ap.add_argument("--seed", type=int, default=0)
     # Corpus + G-architecture flags (must match the frozen G's training).
     ap.add_argument("--notes", action="store_true")
@@ -130,6 +133,19 @@ def main():
         b1=0.9, b2=0.999,
     )
     r_opt = r_tx.init(r_state)
+    start = 0
+    if args.resume_step:
+        from viai_tpu.io.checkpoint import load_train_state
+
+        tpl = jax.device_get({"r": r_state, "opt": r_opt, "ema": r_ema})
+        restored = load_train_state(tpl, f"R{args.resume_step}",
+                                    model.expr_dir)
+        r_state = jax.device_put(restored["r"])
+        r_opt = jax.device_put(restored["opt"])
+        r_ema = jax.device_put(restored["ema"])
+        start = args.resume_step
+        print(f"resumed refiner train state @ {start}", flush=True)
+
     make_step = (make_complex_refiner_train_step if args.domain == "complex"
                  else make_refiner_train_step)
     step_fn = make_step(
@@ -152,9 +168,11 @@ def main():
           flush=True)
 
     key = jax.random.key(args.seed + 2)
+    if start:
+        key = jax.random.fold_in(key, start)  # decorrelate resumed stream
     t0 = time.perf_counter()
     losses = {}
-    for i in range(args.steps):
+    for i in range(start, args.steps):
         key, sub = jax.random.split(key)
         r_state, r_opt, r_ema, losses = step_fn(
             r_state, r_opt, r_ema, model.state["g"], model.state["v"],
@@ -163,7 +181,7 @@ def main():
         step = i + 1
         if step % 500 == 0:
             lr_ = float(losses["loss_R"])
-            rate = step / (time.perf_counter() - t0)
+            rate = (step - start) / (time.perf_counter() - t0)
             print(f"step {step}/{args.steps}  v-MSE {lr_:.5f}  "
                   f"{rate:.1f} steps/s", flush=True)
         if step % args.milestone == 0:
@@ -172,7 +190,14 @@ def main():
             # (--refiner_net Rraw, VERDICT r3 #1 "EMA vs raw").
             save_networks({"R": r_ema, "Rraw": r_state}, str(step),
                           model.expr_dir)
-            print(f"saved net_R/net_Rraw @ {step}", flush=True)
+            from viai_tpu.io.checkpoint import save_train_state
+
+            save_train_state(
+                jax.device_get({"r": r_state, "opt": r_opt, "ema": r_ema}),
+                f"R{step}", model.expr_dir,
+            )
+            print(f"saved net_R/net_Rraw + R{step}_state @ {step}",
+                  flush=True)
     save_networks({"R": r_ema, "Rraw": r_state}, "latest", model.expr_dir,
                   also_latest=False)
 
@@ -185,8 +210,9 @@ def main():
         "ema_decay": args.ema_decay,
         "observed_weight": args.observed_weight,
         "cond_drop": args.cond_drop, "domain": args.domain,
+        "resume_step": start,
         "final_v_mse": round(float(losses["loss_R"]), 6),
-        "train_clips_per_s": round(args.steps * args.batch / dt, 1),
+        "train_clips_per_s": round((args.steps - start) * args.batch / dt, 1),
         "expr_dir": model.expr_dir, "t": time.time(),
     }
     out = os.path.join(os.path.dirname(__file__), "quality_results.jsonl")

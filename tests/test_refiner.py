@@ -470,6 +470,55 @@ def test_complex_infer_fn_observed_region_exact():
         assert err < 5e-3 * np.abs(wav_np[b]).max(), err
 
 
+def test_complex_refiner_cli_roundtrip(tmp_path):
+    """The queue-3 product chain end-to-end at tiny scale: train.py →
+    hand-saved complex R checkpoint → test.py --refiner
+    --refiner_domain complex (GL-free decode) with resample +
+    best-of-K. Pins the CLI-side R channel construction against
+    complex_refiner_channels."""
+    import os
+
+    from viai_tpu.cli.test import main as infer_main
+    from viai_tpu.cli.train import main as train_main
+    from viai_tpu.io import save_networks
+    from viai_tpu.train.diffusion import complex_refiner_channels
+
+    TINY = [
+        "--dataset_mode", "synthetic", "--model", "audio",
+        "--batchSize", "2", "--nThreads", "0",
+        "--clip_seconds", "0.252", "--n_fft", "126",
+        "--hop_length", "64", "--image_frames", "64",
+        "--ngf", "8", "--ndf", "8",
+        "--min_gap_frames", "8", "--max_gap_frames", "16",
+        "--gl_iters", "2", "--n_data_devices", "2",
+    ]
+    ckpt = str(tmp_path / "ckpts")
+    train_main(TINY + [
+        "--name", "cref", "--checkpoints_dir", ckpt,
+        "--niter", "1", "--niter_decay", "0", "--steps_per_epoch", "2",
+        "--save_epoch_freq", "1", "--lr_policy", "constant",
+        "--print_freq", "1",
+    ])
+    r_in, r_out = complex_refiner_channels(2)
+    R = define_R(r_in, ngf=8, seed=3, out_channels=r_out)
+    _, r_state = nnx.split(R)
+    save_networks({"R": r_state}, "latest", os.path.join(ckpt, "cref"),
+                  also_latest=False)
+
+    summary = infer_main(TINY + [
+        "--name", "cref", "--checkpoints_dir", ckpt,
+        "--results_dir", str(tmp_path / "res"),
+        "--which_epoch", "latest", "--how_many", "2",
+        "--refiner", "--refiner_domain", "complex", "--rngf", "8",
+        "--refine_steps", "2", "--refine_t", "1.0",
+        "--refine_clamp", "q", "--refine_resample", "1",
+        "--eval_samples", "2",
+    ])
+    assert summary["n"] == 2
+    assert np.isfinite(summary["psnr_mean"])
+    assert summary["eval_samples"] == 2
+
+
 def test_complex_ddim_resample_runs():
     """Complex-domain DDIM with RePaint resampling: finite, observed
     complex channels exact after compositing."""
