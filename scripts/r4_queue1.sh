@@ -27,8 +27,16 @@ done
 BASE="--name bs40r --checkpoints_dir $CKPT --bottleneck_dilation 1,2,4 --gated"
 EVAL="$BASE --results_dir /tmp/r4q1_res --dataset_mode synthetic_notes --how_many 16 --gl_backend pallas --which_epoch 40000 --refiner"
 
+# Auto-resume from the newest R{N}_state milestone after a relay hang.
+RESUME=0
+for s in 30000 20000 10000; do
+  if [ -d $CKPT/bs40r/R${s}_state ]; then RESUME=$s; break; fi
+done
+echo "queue1 resume_step=$RESUME"
+
 timeout 10800 python scripts/train_refiner.py --steps 40000 --batch 32 --notes \
     $BASE --which_epoch 40000 --cond_drop 0.1 --milestone 10000 \
+    --resume_step $RESUME \
   && test -f $CKPT/bs40r/40000_net_R.pth \
   && timeout 1500 python test.py $EVAL --refine_t 0.35 --refine_steps 8  --log_results r4q1_ema_t035_s8 \
   && timeout 1500 python test.py $EVAL --refine_t 0.20 --refine_steps 8  --log_results r4q1_ema_t020_s8 \

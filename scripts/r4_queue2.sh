@@ -23,8 +23,16 @@ done
 BASE="--name bs40r_ho --checkpoints_dir $CKPT --bottleneck_dilation 1,2,4 --gated"
 EVAL="$BASE --results_dir /tmp/r4q2_res --dataset_mode synthetic_notes --how_many 16 --gl_backend pallas --which_epoch 40000 --refiner --refine_clamp q"
 
+# Auto-resume from the newest R{N}_state milestone after a relay hang.
+RESUME=0
+for s in 30000 20000 10000; do
+  if [ -d $CKPT/bs40r_ho/R${s}_state ]; then RESUME=$s; break; fi
+done
+echo "queue2 resume_step=$RESUME"
+
 timeout 10800 python scripts/train_refiner.py --steps 40000 --batch 32 --notes \
     $BASE --which_epoch 40000 --observed_weight 0.0 --cond_drop 0.1 --milestone 10000 \
+    --resume_step $RESUME \
   && test -f $CKPT/bs40r_ho/40000_net_R.pth \
   && timeout 1500 python test.py $EVAL --refine_t 0.35 --refine_steps 8  --log_results r4q2_ho_q_t035_s8 \
   && timeout 1500 python test.py $EVAL --refine_t 0.20 --refine_steps 8  --log_results r4q2_ho_q_t020_s8 \

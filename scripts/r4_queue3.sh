@@ -20,12 +20,23 @@ BASE="--name lgap4 --checkpoints_dir $CKPT --long_gap"
 EVAL="$BASE --results_dir /tmp/r4q3_res --dataset_mode synthetic --how_many 16 --which_epoch 10000"
 CEVAL="$EVAL --refiner --refiner_domain complex --refine_t 1.0"
 
+# Auto-resume (both stages) from the newest saved milestones.
+GRES=0
+if [ -d $CKPT/lgap4/5000_state ]; then GRES=5000; fi
+RRES=0
+for s in 30000 20000 10000; do
+  if [ -d $CKPT/lgap4/R${s}_state ]; then RRES=$s; break; fi
+done
+echo "queue3 g_resume=$GRES r_resume=$RRES"
+
 timeout 7200 python scripts/quality_long.py --steps 10000 --batch 32 \
     --long_gap --name lgap4 --checkpoints_dir $CKPT --milestone 5000 \
+    --resume_step $GRES \
   && test -f $CKPT/lgap4/10000_net_G.pth \
   && timeout 1500 python test.py $EVAL --gl_backend pallas --gl_iters 64 --log_results r4q3_control_gl64 \
   && timeout 14400 python scripts/train_refiner.py --steps 40000 --batch 32 \
        --long_gap $BASE --which_epoch 10000 --domain complex --cond_drop 0.1 --milestone 10000 \
+       --resume_step $RRES \
   && test -f $CKPT/lgap4/40000_net_R.pth \
   && timeout 1500 python test.py $CEVAL --refine_steps 16 --log_results r4q3_cplx_t100_s16 \
   && timeout 1500 python test.py $CEVAL --refine_steps 32 --log_results r4q3_cplx_t100_s32 \
