@@ -42,4 +42,6 @@ timeout 10800 python scripts/train_refiner.py --steps 40000 --batch 32 --notes \
   && timeout 1500 python test.py $EVAL --refine_t 0.35 --refine_steps 8 --refine_resample 2 --log_results r4q2_ho_q_t035_s8_rs2 \
   && timeout 1500 python test.py $EVAL --refine_t 1.00 --refine_steps 16 --refine_resample 2 --log_results r4q2_ho_q_t100_s16_rs2 \
   && timeout 2400 python test.py $EVAL --refine_t 1.00 --refine_steps 16 --eval_samples 4 --log_results r4q2_ho_q_t100_s16_bo4 \
+  && timeout 2400 python test.py $EVAL --refine_t 0.35 --refine_steps 8 --refine_avg 8 --log_results r4q2_ho_q_t035_s8_avg8 \
+  && timeout 3000 python test.py $EVAL --refine_t 1.00 --refine_steps 16 --refine_avg 8 --log_results r4q2_ho_q_t100_s16_avg8 \
   && echo R4_QUEUE2_DONE

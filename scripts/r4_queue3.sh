@@ -45,4 +45,6 @@ timeout 7200 python scripts/quality_long.py --steps 10000 --batch 32 \
   && timeout 1500 python test.py $CEVAL --refine_steps 16 --refine_noise 0.0 --log_results r4q3_cplx_t100_s16_det \
   && timeout 1500 python test.py $CEVAL --refine_steps 16 --refine_clamp q --refine_resample 2 --log_results r4q3_cplx_q_t100_s16_rs2 \
   && timeout 2400 python test.py $CEVAL --refine_steps 16 --eval_samples 4 --log_results r4q3_cplx_t100_s16_bo4 \
+  && timeout 3000 python test.py $CEVAL --refine_steps 16 --refine_avg 8 --log_results r4q3_cplx_t100_s16_avg8 \
+  && timeout 3000 python test.py $CEVAL --refine_steps 16 --refine_clamp q --refine_avg 8 --log_results r4q3_cplx_q_t100_s16_avg8 \
   && echo R4_QUEUE3_DONE

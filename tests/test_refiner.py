@@ -161,6 +161,33 @@ def test_infer_fn_with_refiner_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_infer_fn_refine_avg_posterior_mean():
+    """refine_avg semantics: K=2 with noise_scale=0 is EXACTLY the
+    single-sample chain (all samples identical → mean is the sample);
+    K=2 with noise runs finite, same shape, and differs from K=1
+    (distinct noise folds actually contribute)."""
+    from viai_tpu.train.step import make_infer_fn
+
+    g_def, g_state, wav, _, _ = _tiny_setup()
+    R = _tiny_refiner()
+    r_def, r_state = nnx.split(R)
+    kw = dict(n_gl_iter=2, refiner=(r_def, r_state), refine_steps=2,
+              refine_t=0.3)
+    det1 = make_infer_fn(g_def, None, TINY_CFG, refine_noise=0.0, **kw)
+    det2 = make_infer_fn(g_def, None, TINY_CFG, refine_noise=0.0,
+                         refine_avg=2, **kw)
+    k = jax.random.key(9)
+    np.testing.assert_allclose(np.asarray(det1(g_state, None, wav, k, None)),
+                               np.asarray(det2(g_state, None, wav, k, None)),
+                               atol=1e-6)
+    s1 = make_infer_fn(g_def, None, TINY_CFG, **kw)
+    s2 = make_infer_fn(g_def, None, TINY_CFG, refine_avg=2, **kw)
+    o1 = np.asarray(s1(g_state, None, wav, k, None))
+    o2 = np.asarray(s2(g_state, None, wav, k, None))
+    assert o2.shape == wav.shape and np.isfinite(o2).all()
+    assert np.abs(o1 - o2).max() > 0
+
+
 def test_refiner_cli_roundtrip(tmp_path):
     """train.py tiny → save an R checkpoint → test.py --refiner."""
     import os
@@ -468,6 +495,31 @@ def test_complex_infer_fn_observed_region_exact():
         obs = np.r_[300:lo, hi:wav.shape[-1] - 300]
         err = np.abs(out_np[b, obs] - wav_np[b, obs]).max()
         assert err < 5e-3 * np.abs(wav_np[b]).max(), err
+
+
+def test_complex_infer_fn_refine_avg_runs():
+    """Posterior-mean (refine_avg) on the GL-free complex chain: iSTFT
+    is linear, so the K-sample average decodes finite with the observed
+    region still exact (each sample composites observed verbatim and
+    the mean of identical observed regions is itself)."""
+    from viai_tpu.train.diffusion import (complex_refiner_channels,
+                                          make_complex_refiner_infer_fn)
+
+    g_def, g_state, wav, _, _ = _tiny_setup(batch=2)
+    wav = wav[:2]
+    r_in, r_out = complex_refiner_channels(2)
+    R = define_R(r_in, ngf=8, out_channels=r_out)
+    r_def, r_state = nnx.split(R)
+    one = make_complex_refiner_infer_fn(
+        g_def, None, r_def, r_state, TINY_CFG, steps=2, t_start=1.0)
+    avg = make_complex_refiner_infer_fn(
+        g_def, None, r_def, r_state, TINY_CFG, steps=2, t_start=1.0,
+        refine_avg=3)
+    key = jax.random.key(33)
+    o1 = np.asarray(one(g_state, None, wav, key, None))
+    o3 = np.asarray(avg(g_state, None, wav, key, None))
+    assert o3.shape == wav.shape and np.isfinite(o3).all()
+    assert np.abs(o1 - o3).max() > 0      # extra folds contributed
 
 
 def test_complex_refiner_cli_roundtrip(tmp_path):

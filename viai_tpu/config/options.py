@@ -300,6 +300,15 @@ class TestOptions(BaseOptions):
                             "hole-PSNR one; logs hole_psnr_s1_mean "
                             "(first sample) beside the best-of-K mean "
                             "— the posterior-coverage diagnostic")
+        p.add_argument("--refine_avg", type=int, default=1,
+                       help="posterior-MEAN estimate: average K "
+                            "independent-noise DDIM refinements of the "
+                            "hole before the decode (one GL / one "
+                            "iSTFT either way). PSNR/SNR are MSE "
+                            "metrics, minimized by the posterior mean "
+                            "— a single diffusion SAMPLE structurally "
+                            "cannot beat a regression baseline on "
+                            "them, the sample-average can; 1 = off")
         p.add_argument("--refine_resample", type=int, default=0,
                        help="RePaint time-travel rounds per DDIM step "
                             "(each round re-noises u back to t and "

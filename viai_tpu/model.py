@@ -222,6 +222,7 @@ class VIAIModel:
                 guidance=getattr(opt, "refine_guidance", 0.0),
                 clamp_mode=getattr(opt, "refine_clamp", "x0"),
                 resample=getattr(opt, "refine_resample", 0),
+                refine_avg=getattr(opt, "refine_avg", 1),
                 **kw,
             )
         kw = {} if noise_fold is None else {"noise_fold": 0x5EED + noise_fold}
@@ -242,6 +243,7 @@ class VIAIModel:
             refine_guidance=getattr(opt, "refine_guidance", 0.0),
             refine_clamp=getattr(opt, "refine_clamp", "x0"),
             refine_resample=getattr(opt, "refine_resample", 0),
+            refine_avg=getattr(opt, "refine_avg", 1),
             **kw,
         )
 

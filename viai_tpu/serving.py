@@ -75,6 +75,7 @@ class InpaintService:
         refine_guidance: float = 0.0,
         refine_clamp: str = "x0",
         refine_resample: int = 0,
+        refine_avg: int = 1,
     ):
         """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
         bucket batch over the 'data' axis — DP serving across chips,
@@ -118,7 +119,7 @@ class InpaintService:
                 steps=refine_steps, t_start=refine_t,
                 noise_scale=refine_noise, guidance=refine_guidance,
                 clamp_mode=refine_clamp, resample=refine_resample,
-                external_mask=True,
+                refine_avg=refine_avg, external_mask=True,
             )
         else:
             self._infer = make_infer_fn(
@@ -130,6 +131,7 @@ class InpaintService:
                 refine_guidance=refine_guidance,
                 refine_clamp=refine_clamp,
                 refine_resample=refine_resample,
+                refine_avg=refine_avg,
             )
         self.stats = ServiceStats()
         import threading

@@ -488,6 +488,7 @@ def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
                                   guidance: float = 0.0,
                                   clamp_mode: str = "x0",
                                   resample: int = 0,
+                                  refine_avg: int = 1,
                                   external_mask: bool = False,
                                   noise_fold: int = 0xC0):
     """jit'd (g_state, v_state, wav, key_or_mask, frames) → waveform.
@@ -518,11 +519,26 @@ def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
         fake = G(_g_input(batch), feats)
         g_img = fake[..., :1]
         cplx = complex_image(wav, cfg)
-        refined = ddim_refine_complex(
-            r_def, r_state, g_img, batch, cplx, knoise, steps=steps,
-            t_start=t_start, noise_scale=noise_scale, guidance=guidance,
-            clamp_mode=clamp_mode, resample=resample,
-        )
+
+        # refine_avg > 1: posterior-MEAN in the complex domain. iSTFT
+        # is linear in (re, im), so averaging K complex samples equals
+        # averaging K waveforms — the MSE/SNR-optimal estimator the
+        # sampler can offer (see train.step.make_infer_fn refine_avg).
+        def one_sample(s):
+            ks = (knoise if s == 0
+                  else jax.random.fold_in(knoise, 0xA76 + s))
+            return ddim_refine_complex(
+                r_def, r_state, g_img, batch, cplx, ks, steps=steps,
+                t_start=t_start, noise_scale=noise_scale,
+                guidance=guidance, clamp_mode=clamp_mode,
+                resample=resample,
+            )
+
+        if refine_avg <= 1:
+            refined = one_sample(0)
+        else:
+            refined = sum(one_sample(s)
+                          for s in range(refine_avg)) / refine_avg
         re, im = complex_decompress(refined[..., 0], refined[..., 1],
                                     cfg.compress_ceiling)
         n_frames = cfg.stft.num_frames(wav.shape[-1])

@@ -400,7 +400,8 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                   refiner=None, refine_steps: int = 8,
                   refine_t: float = 0.35, refine_noise: float = 1.0,
                   refine_guidance: float = 0.0, refine_clamp: str = "x0",
-                  refine_resample: int = 0, noise_fold: int = 0x5EED):
+                  refine_resample: int = 0, refine_avg: int = 1,
+                  noise_fold: int = 0x5EED):
     """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
 
     Full chain: STFT → mask → G inpaint → composite (observed region is
@@ -490,12 +491,28 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
             # diagnostic). Default reproduces the original stream.
             knoise = (jax.random.key(noise_fold - 0x5EED) if external_mask
                       else jax.random.fold_in(key_or_mask, noise_fold))
-            refined = ddim_refine(
-                r_def, r_state, fake[..., :1], batch, knoise,
-                steps=refine_steps, t_start=refine_t,
-                noise_scale=refine_noise, guidance=refine_guidance,
-                clamp_mode=refine_clamp, resample=refine_resample,
-            )
+            # refine_avg > 1: POSTERIOR-MEAN estimate — average K
+            # independent-noise refinements of the hole (in the
+            # compressed-magnitude metric space) before the single GL
+            # decode. PSNR is an MSE metric; its Bayes-optimal answer
+            # is the posterior mean, which one diffusion sample cannot
+            # be but the K-sample average approaches at O(1/K) excess
+            # variance. Fold s=0 reproduces the single-sample stream.
+            def one_sample(s):
+                ks = (knoise if s == 0
+                      else jax.random.fold_in(knoise, 0xA76 + s))
+                return ddim_refine(
+                    r_def, r_state, fake[..., :1], batch, ks,
+                    steps=refine_steps, t_start=refine_t,
+                    noise_scale=refine_noise, guidance=refine_guidance,
+                    clamp_mode=refine_clamp, resample=refine_resample,
+                )
+
+            if refine_avg <= 1:
+                refined = one_sample(0)
+            else:
+                refined = sum(one_sample(s)
+                              for s in range(refine_avg)) / refine_avg
             fake = jnp.concatenate([refined, fake[..., 1:]], axis=-1)
         fake_mag = decompress(fake[..., 0], cfg.compress_ceiling)
         if oracle_mag:
