@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--lambda_sc", type=float, default=0.0)
     ap.add_argument("--lambda_onset", type=float, default=0.0)
     ap.add_argument("--lambda_fm", type=float, default=0.0)
+    # Round-4 estimator arm: metric-matched MSE regression (posterior
+    # mean) vs the default L1 (posterior median) — see nn/losses.py.
+    ap.add_argument("--lambda_l1", type=float, default=100.0)
+    ap.add_argument("--lambda_l2", type=float, default=0.0)
     ap.add_argument("--num_D", type=int, default=1)
     ap.add_argument("--gated", action="store_true")
     ap.add_argument("--phase_head", action="store_true")
@@ -119,6 +123,8 @@ def main():
         "--lambda_sc", str(args.lambda_sc),
         "--lambda_onset", str(args.lambda_onset),
         "--lambda_fm", str(args.lambda_fm),
+        "--lambda_L1", str(args.lambda_l1),
+        "--lambda_L2", str(args.lambda_l2),
         "--num_D", str(args.num_D),
         "--bottleneck_dilation", args.bottleneck_dilation,
         "--bottleneck_attn", str(args.bottleneck_attn),
@@ -189,6 +195,7 @@ def main():
         "notes_grid": args.notes_grid, "cue": args.cue,
         "lambda_sc": args.lambda_sc, "lambda_onset": args.lambda_onset,
         "lambda_fm": args.lambda_fm, "num_D": args.num_D,
+        "lambda_l1": args.lambda_l1, "lambda_l2": args.lambda_l2,
         "gated": args.gated, "phase_head": args.phase_head,
         "lambda_phase": args.lambda_phase,
         "bottleneck_dilation": args.bottleneck_dilation,

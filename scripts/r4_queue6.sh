@@ -1,0 +1,64 @@
+#!/bin/bash
+# r4_queue6 — ESTIMATOR arm inside the regression family: metric-matched
+# MSE (posterior MEAN) vs the default L1 (posterior MEDIAN).
+#
+# hole-PSNR is MSE in compressed-mag space (utils/metrics.py); every
+# round-3/4 single-sample refiner arm lost to the L1 control by about a
+# posterior-width, and --refine_avg attacks that from the sampling side.
+# This queue attacks it from the regression side: fine-tune the SAME 40k
+# best-stack G (gated + dil 1,2,4 + onset 50, hole_weight 3) for 15k
+# further steps with the L1 term swapped for lambda_l2=2500 (gradient
+# scale matched to L1's at |err|~0.02 — strong on the high-error attack
+# pixels where the dB is lost, gentle near convergence), against a
+# MATCHED L1 continuation control with the identical schedule, so
+# "L2 won" cannot be confused with "more steps won".
+#
+# Runs strictly after queue5 (waits on its pid). ADVICE r3 conventions:
+# pid file, && gating, durable results, auto-resume pickup.
+echo $$ > /tmp/q_r4_6.pid
+cd /root/repo || exit 1
+
+PREV_PID=$(cat /tmp/q_r4_5.pid 2>/dev/null)
+while [ -n "$PREV_PID" ] && kill -0 "$PREV_PID" 2>/dev/null; do
+  sleep 60
+done
+set -x
+
+CKPT=/root/repo/checkpoints
+STACK="--gated --bottleneck_dilation 1,2,4 --lambda_onset 50 --hole_weight 3.0"
+
+for arm in bs40_l2ft bs40_l1ft; do
+  mkdir -p $CKPT/$arm
+  for f in 40000_net_G.pth 40000_net_D.pth opt.txt; do
+    ln -f $CKPT/beststack40/$f $CKPT/$arm/$f 2>/dev/null
+  done
+  # Orbax state dir: hard-link tree (cheap, read-only source).
+  [ -d $CKPT/$arm/40000_state ] || cp -al $CKPT/beststack40/40000_state $CKPT/$arm/40000_state
+done
+
+resume_for () {  # newest milestone state in an experiment dir
+  for s in 50000 45000 40000; do
+    if [ -d $CKPT/$1/${s}_state ]; then echo $s; return; fi
+  done
+  echo 40000
+}
+
+EVAL="--checkpoints_dir $CKPT --bottleneck_dilation 1,2,4 --gated --results_dir /tmp/r4q6_res --dataset_mode synthetic_notes --how_many 16 --gl_backend pallas"
+
+timeout 5400 python scripts/quality_long.py --steps 55000 --batch 32 --notes \
+    --name bs40_l2ft --checkpoints_dir $CKPT --milestone 5000 \
+    --resume_step $(resume_for bs40_l2ft) \
+    $STACK --lambda_l1 0 --lambda_l2 2500 \
+  && test -f $CKPT/bs40_l2ft/55000_net_G.pth \
+  && timeout 1500 python test.py $EVAL --name bs40_l2ft --which_epoch 50000 --log_results r4q6_l2ft_50k \
+  && timeout 1500 python test.py $EVAL --name bs40_l2ft --which_epoch 55000 --log_results r4q6_l2ft_55k \
+  && echo R4_QUEUE6_L2_DONE
+
+timeout 5400 python scripts/quality_long.py --steps 55000 --batch 32 --notes \
+    --name bs40_l1ft --checkpoints_dir $CKPT --milestone 5000 \
+    --resume_step $(resume_for bs40_l1ft) \
+    $STACK \
+  && test -f $CKPT/bs40_l1ft/55000_net_G.pth \
+  && timeout 1500 python test.py $EVAL --name bs40_l1ft --which_epoch 50000 --log_results r4q6_l1ft_50k \
+  && timeout 1500 python test.py $EVAL --name bs40_l1ft --which_epoch 55000 --log_results r4q6_l1ft_55k \
+  && echo R4_QUEUE6_L1_DONE

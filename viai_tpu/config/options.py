@@ -222,6 +222,12 @@ class TrainOptions(BaseOptions):
         p.add_argument("--no_lsgan", action="store_true",
                        help="use vanilla GAN loss instead of LSGAN")
         p.add_argument("--lambda_L1", type=float, default=100.0)
+        p.add_argument("--lambda_L2", type=float, default=0.0,
+                       help="masked MSE weight in compressed-mag space "
+                            "— the hole-PSNR metric's own space, whose "
+                            "optimum is the posterior MEAN (L1's is the "
+                            "median); swap in for --lambda_L1 to train "
+                            "the metric-matched regression estimator")
         p.add_argument("--hole_weight", type=float, default=1.0)
         p.add_argument("--lambda_sc", type=float, default=0.0,
                        help="hole spectral-convergence weight (linear-"

@@ -69,6 +69,7 @@ def train_config_from_opt(opt) -> TrainConfig:
         image_frames=opt.image_frames,
         gan_mode="vanilla" if getattr(opt, "no_lsgan", False) else opt.gan_mode,
         lambda_l1=getattr(opt, "lambda_L1", 100.0),
+        lambda_l2=getattr(opt, "lambda_L2", 0.0),
         hole_weight=getattr(opt, "hole_weight", 1.0),
         lambda_sc=getattr(opt, "lambda_sc", 0.0),
         lambda_onset=getattr(opt, "lambda_onset", 0.0),

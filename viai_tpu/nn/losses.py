@@ -69,6 +69,24 @@ def masked_l1_loss(pred, target, keep_mask, hole_weight: float = 1.0,
     return jnp.sum(err * w) / (jnp.sum(w) + 1e-8)
 
 
+def masked_l2_loss(pred, target, keep_mask, hole_weight: float = 1.0,
+                   context_weight: float = 1.0):
+    """Squared-error twin of masked_l1_loss — the ESTIMATOR lever.
+
+    The eval metric (hole-PSNR, utils/metrics.py::masked_psnr) is MSE in
+    the same compressed-magnitude space this loss sees; MSE's Bayes-
+    optimal predictor is the posterior MEAN, while L1's is the MEDIAN.
+    On a multi-modal hole posterior those differ, so an L1-trained G is
+    structurally mis-matched to the metric it is judged by. Swapping
+    this term in (lambda_l2 > 0, lambda_l1 -> 0) retrains the SAME
+    architecture toward the metric's own optimum — the regression-family
+    counterpart of the diffusion refiner's --refine_avg posterior mean.
+    """
+    err = (pred - target) ** 2
+    w = keep_mask * context_weight + (1.0 - keep_mask) * hole_weight
+    return jnp.sum(err * w) / (jnp.sum(w) + 1e-8)
+
+
 def hole_spectral_convergence_loss(pred_mag, target_mag, keep_mask):
     """Spectral convergence restricted to the hole, on LINEAR magnitude.
 
