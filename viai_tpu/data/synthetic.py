@@ -205,6 +205,34 @@ def _draw_notes_grid(rng, cfg: SyntheticConfig):
             np.full(K, inharm), noise_amp)
 
 
+def render_note_events(params, noise: np.ndarray, t: np.ndarray,
+                       n_harmonics: int) -> np.ndarray:
+    """Pure renderer: note parameters + noise stream → UNNORMALIZED wav.
+
+    params = (onset, f0, decay, amp, inharm, noise_amp) as produced by
+    _draw_notes/_draw_notes_grid. Split out of _render_notes_clip so
+    analysis tooling (scripts/bayes_ceiling.py) can re-render posterior-
+    equivalent parameter sets against a fixed context; consumes no rng.
+    """
+    onset, f0, decay, amp, inharm, noise_amp = params
+    tt = t[None, :] - onset[:, None]                # (K, n)
+    gate = tt >= 0.0
+    ttc = np.where(gate, tt, 0.0)
+    ang = 2 * np.pi * f0[:, None] * ttc
+    z = np.exp(-decay[:, None] * ttc) * (np.cos(ang) + 1j * np.sin(ang))
+    per_note = np.zeros_like(ttc)
+    zh = np.ones_like(z)
+    for h in range(1, n_harmonics + 1):
+        zh = zh * z
+        detune = ang * inharm[:, None] * (h * h - h)
+        per_note += (1.0 / h) * (
+            zh.imag * np.cos(detune) + zh.real * np.sin(detune)
+        )
+    per_note *= amp[:, None] * gate
+    per_note += 0.3 * amp[:, None] * (gate & (ttc < 0.005)) * noise[None, :]
+    return per_note.sum(axis=0) + noise_amp * noise
+
+
 def _render_notes_clip(rng, cfg: SyntheticConfig, t: np.ndarray):
     """One polyphonic clip → (wav float32 (n,), inst_f (n,) dominant Hz).
 
@@ -216,26 +244,15 @@ def _render_notes_clip(rng, cfg: SyntheticConfig, t: np.ndarray):
     blob so vision stays informative in 'notes' style).
     """
     draw = _draw_notes_grid if cfg.style == "notes_grid" else _draw_notes
-    onset, f0, decay, amp, inharm, noise_amp = draw(rng, cfg)
+    params = draw(rng, cfg)
+    onset, f0, decay, amp, inharm, noise_amp = params
     noise = rng.standard_normal(t.shape[0])         # drawn ONCE, fixed order
+    wav = render_note_events(params, noise, t, cfg.n_harmonics)
+    wav = wav.astype(np.float32)
+    wav *= 0.5 / max(np.abs(wav).max(), 1e-6)
     tt = t[None, :] - onset[:, None]                # (K, n)
     gate = tt >= 0.0
     ttc = np.where(gate, tt, 0.0)
-    ang = 2 * np.pi * f0[:, None] * ttc
-    z = np.exp(-decay[:, None] * ttc) * (np.cos(ang) + 1j * np.sin(ang))
-    per_note = np.zeros_like(ttc)
-    zh = np.ones_like(z)
-    for h in range(1, cfg.n_harmonics + 1):
-        zh = zh * z
-        detune = ang * inharm[:, None] * (h * h - h)
-        per_note += (1.0 / h) * (
-            zh.imag * np.cos(detune) + zh.real * np.sin(detune)
-        )
-    per_note *= amp[:, None] * gate
-    per_note += 0.3 * amp[:, None] * (gate & (ttc < 0.005)) * noise[None, :]
-    wav = per_note.sum(axis=0) + noise_amp * noise
-    wav = wav.astype(np.float32)
-    wav *= 0.5 / max(np.abs(wav).max(), 1e-6)
     # Dominant pitch = f0 of the loudest live note (envelope-weighted).
     live_env = amp[:, None] * np.where(gate, np.exp(-decay[:, None] * ttc),
                                        0.0)
