@@ -150,10 +150,11 @@ def posterior_resample(rng, params, H_lo, H_hi, tau, onset_prior_hi):
             int(fam.sum()), int(invis.sum()))
 
 
-def run(n_clips: int, n_variants: int, seed: int):
+def run(n_clips: int, n_variants: int, seed: int, style: str = "notes"):
     import jax
 
     from viai_tpu.data.synthetic import (SyntheticConfig, _draw_notes,
+                                         _draw_notes_grid,
                                          render_note_events)
     from viai_tpu.signal import stft_magnitude
     from viai_tpu.signal.mask import MaskConfig, sample_time_mask
@@ -161,7 +162,7 @@ def run(n_clips: int, n_variants: int, seed: int):
     from viai_tpu.signal.stft import STFTConfig
     from viai_tpu.utils.metrics import masked_psnr
 
-    scfg = SyntheticConfig(style="notes")
+    scfg = SyntheticConfig(style=style)
     stft = STFTConfig()                 # n_fft 510, hop 128 (eval default)
     mcfg = MaskConfig()                 # 25-50 frames, random position
     sr, n = scfg.sample_rate, scfg.clip_samples
@@ -178,9 +179,10 @@ def run(n_clips: int, n_variants: int, seed: int):
 
     ceil_psnr, samp_psnr = [], []
     n_ident_tot, n_fam_tot, n_invis_tot = 0, 0, 0
+    draw = _draw_notes_grid if style == "notes_grid" else _draw_notes
     for i in range(n_clips):
         rng = np.random.default_rng(seed * 100003 + i)
-        params = _draw_notes(rng, scfg)
+        params = draw(rng, scfg)
         noise = rng.standard_normal(n)
         raw = render_note_events(params, noise, t, scfg.n_harmonics)
         scale = 0.5 / max(np.abs(raw).max(), 1e-6)
@@ -197,8 +199,20 @@ def run(n_clips: int, n_variants: int, seed: int):
         vrng = np.random.default_rng(seed * 7919 + 31 * i + 7)
         variants = []
         for m in range(n_variants):
-            p2, nid, nfa, ninv = posterior_resample(
-                vrng, params, H_lo, H_hi, tau, onset_prior_hi)
+            if style == "notes_grid":
+                # The deterministic twin: every in-H note is the
+                # continuation of the observed beat grid/arpeggio, so
+                # the posterior keeps ALL parameters and only the
+                # in-gap noise (attack bursts + floor) is random -> the
+                # ceiling isolates the pure burst-noise cost, a method
+                # validation + the irreducible-noise term of 'notes'.
+                p2 = params
+                nid = int(((params[0] > H_lo) & (params[0] < H_hi)
+                           & (params[3] > 0)).sum())
+                nfa = ninv = 0
+            else:
+                p2, nid, nfa, ninv = posterior_resample(
+                    vrng, params, H_lo, H_hi, tau, onset_prior_hi)
             if m == 0:
                 n_ident_tot += nid
                 n_fam_tot += nfa
@@ -225,7 +239,7 @@ def run(n_clips: int, n_variants: int, seed: int):
 
     return {
         "exp": "bayes_ceiling",
-        "dataset_mode": "synthetic_notes",
+        "dataset_mode": f"synthetic_{style}",
         "n_clips": n_clips,
         "n_variants": n_variants,
         "seed": seed,
@@ -252,10 +266,15 @@ if __name__ == "__main__":
     ap.add_argument("--clips", type=int, default=64)
     ap.add_argument("--variants", type=int, default=48)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--style", choices=["notes", "notes_grid"],
+                    default="notes",
+                    help="notes_grid = the deterministic twin: only "
+                         "in-gap noise is random, so the ceiling "
+                         "isolates the irreducible attack-burst cost")
     ap.add_argument("--log_results", action="store_true",
                     help="append to scripts/quality_results.jsonl")
     args = ap.parse_args()
-    rec = run(args.clips, args.variants, args.seed)
+    rec = run(args.clips, args.variants, args.seed, style=args.style)
     print(json.dumps(rec))
     if args.log_results:
         path = os.path.join(os.path.dirname(__file__),

@@ -121,3 +121,13 @@ def test_run_smoke_tiny():
     assert np.isfinite(rec["ceiling_hole_psnr_mean"])
     assert 15.0 < rec["ceiling_hole_psnr_mean"] < 90.0
     assert np.isfinite(rec["sample_hole_psnr_mean"])
+
+
+def test_run_notes_grid_keeps_all_params():
+    """Deterministic twin: the posterior keeps every note (identified
+    only; no family/invisible draws) and only resamples in-gap noise."""
+    rec = bc.run(n_clips=2, n_variants=4, seed=5, style="notes_grid")
+    assert rec["dataset_mode"] == "synthetic_notes_grid"
+    assert rec["family_hidden_notes_per_clip"] == 0.0
+    assert rec["invisible_hidden_notes_per_clip"] == 0.0
+    assert np.isfinite(rec["ceiling_hole_psnr_mean"])
