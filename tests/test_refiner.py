@@ -188,6 +188,33 @@ def test_infer_fn_refine_avg_posterior_mean():
     assert np.abs(o1 - o2).max() > 0
 
 
+def test_infer_fn_refine_mix_endpoints():
+    """refine_mix semantics: mix=1.0 collapses to the pure-regression
+    chain (bitwise equal to no-refiner — the G hole passes through
+    verbatim and GL is deterministic given the same magnitudes);
+    mix=0.5 differs from both endpoints."""
+    from viai_tpu.train.step import make_infer_fn
+
+    g_def, g_state, wav, _, _ = _tiny_setup()
+    R = _tiny_refiner()
+    r_def, r_state = nnx.split(R)
+    kw = dict(n_gl_iter=2, refiner=(r_def, r_state), refine_steps=2,
+              refine_t=0.3)
+    k = jax.random.key(11)
+    plain = make_infer_fn(g_def, None, TINY_CFG, n_gl_iter=2)
+    mix1 = make_infer_fn(g_def, None, TINY_CFG, refine_mix=1.0, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(plain(g_state, None, wav, k, None)),
+        np.asarray(mix1(g_state, None, wav, k, None)))
+    mix0 = make_infer_fn(g_def, None, TINY_CFG, **kw)
+    half = make_infer_fn(g_def, None, TINY_CFG, refine_mix=0.5, **kw)
+    o0 = np.asarray(mix0(g_state, None, wav, k, None))
+    oh = np.asarray(half(g_state, None, wav, k, None))
+    o1 = np.asarray(mix1(g_state, None, wav, k, None))
+    assert np.isfinite(oh).all()
+    assert np.abs(oh - o0).max() > 0 and np.abs(oh - o1).max() > 0
+
+
 def test_refiner_cli_roundtrip(tmp_path):
     """train.py tiny → save an R checkpoint → test.py --refiner."""
     import os

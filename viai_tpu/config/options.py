@@ -315,6 +315,14 @@ class TestOptions(BaseOptions):
                             "— a single diffusion SAMPLE structurally "
                             "cannot beat a regression baseline on "
                             "them, the sample-average can; 1 = off")
+        p.add_argument("--refine_mix", type=float, default=0.0,
+                       help="convex ensemble weight on the regression "
+                            "G's hole vs the refiner estimate "
+                            "(mag-domain refiner only): x = mix*G + "
+                            "(1-mix)*refined before the GL decode. "
+                            "Two estimators of the same posterior "
+                            "mean with decorrelated errors blend to a "
+                            "strictly better MSE estimate; 0 = off")
         p.add_argument("--refine_resample", type=int, default=0,
                        help="RePaint time-travel rounds per DDIM step "
                             "(each round re-noises u back to t and "

@@ -245,6 +245,7 @@ class VIAIModel:
             refine_clamp=getattr(opt, "refine_clamp", "x0"),
             refine_resample=getattr(opt, "refine_resample", 0),
             refine_avg=getattr(opt, "refine_avg", 1),
+            refine_mix=getattr(opt, "refine_mix", 0.0),
             **kw,
         )
 

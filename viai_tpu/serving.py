@@ -76,6 +76,7 @@ class InpaintService:
         refine_clamp: str = "x0",
         refine_resample: int = 0,
         refine_avg: int = 1,
+        refine_mix: float = 0.0,
     ):
         """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
         bucket batch over the 'data' axis — DP serving across chips,
@@ -132,6 +133,7 @@ class InpaintService:
                 refine_clamp=refine_clamp,
                 refine_resample=refine_resample,
                 refine_avg=refine_avg,
+                refine_mix=refine_mix,
             )
         self.stats = ServiceStats()
         import threading

@@ -410,7 +410,7 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                   refine_t: float = 0.35, refine_noise: float = 1.0,
                   refine_guidance: float = 0.0, refine_clamp: str = "x0",
                   refine_resample: int = 0, refine_avg: int = 1,
-                  noise_fold: int = 0x5EED):
+                  refine_mix: float = 0.0, noise_fold: int = 0x5EED):
     """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
 
     Full chain: STFT → mask → G inpaint → composite (observed region is
@@ -522,6 +522,15 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
             else:
                 refined = sum(one_sample(s)
                               for s in range(refine_avg)) / refine_avg
+            # refine_mix in (0, 1]: convex ENSEMBLE of the regression
+            # G's hole (weight mix) and the refiner estimate (1-mix).
+            # Both estimate the same posterior mean with different
+            # error profiles; where those errors decorrelate the blend
+            # strictly beats either input on MSE metrics. mix=0 is the
+            # pure refiner stream (default).
+            if refine_mix > 0.0:
+                refined = (refine_mix * fake[..., :1]
+                           + (1.0 - refine_mix) * refined)
             fake = jnp.concatenate([refined, fake[..., 1:]], axis=-1)
         fake_mag = decompress(fake[..., 0], cfg.compress_ceiling)
         if oracle_mag:
