@@ -97,15 +97,36 @@ def save_networks(
             torch.save(sd, _net_path(expr_dir, "latest", name))
 
 
+def torch_conv_layout(our_key: str, arr: np.ndarray) -> np.ndarray:
+    """Layout shim for importing NATIVE torch conv weights.
+
+    torch stores Conv2d kernels as (cout, cin, kh, kw) and Conv3d as
+    (cout, cin, kd, kh, kw); flax wants (kh, kw, cin, cout) /
+    (kd, kh, kw, cin, cout). Biases/norm vectors pass through. Applied
+    only to `.kernel` leaves so rank-4/5 non-conv tensors are safe.
+    """
+    if our_key.endswith(".kernel") or our_key.endswith("kernel"):
+        if arr.ndim == 4:
+            return np.transpose(arr, (2, 3, 1, 0))
+        if arr.ndim == 5:
+            return np.transpose(arr, (2, 3, 4, 1, 0))
+    return arr
+
+
 def load_networks(
     nets: dict[str, tp.Any], which_epoch, expr_dir: str,
     torch_key_map: tp.Callable[[str], str] | None = None,
+    torch_value_map: tp.Callable[[str, np.ndarray], np.ndarray]
+    | None = None,
 ) -> dict[str, tp.Any]:
     """Restore each net's state from `{epoch}_net_{name}.pth`.
 
-    `torch_key_map` maps OUR key names to the names inside the .pth —
-    the import shim for reference-era torch checkpoints
-    (SURVEY.md §5.4 "torch-state-dict import/export shim").
+    `torch_key_map` maps OUR key names to the names inside the .pth and
+    `torch_value_map(our_key, array)` converts each tensor's LAYOUT
+    (e.g. `torch_conv_layout` for native torch NCHW conv kernels) — the
+    import shim for reference-era torch checkpoints (SURVEY.md §5.4
+    "torch-state-dict import/export shim"). With neither, the file must
+    already use our flat key schema and flax layouts (our own exports).
     """
     import torch
 
@@ -119,6 +140,8 @@ def load_networks(
         if torch_key_map is not None:
             ours = flatten_state(state)
             flat = {k: flat[torch_key_map(k)] for k in ours}
+        if torch_value_map is not None:
+            flat = {k: torch_value_map(k, v) for k, v in flat.items()}
         out[name] = unflatten_into(state, flat)
     return out
 
