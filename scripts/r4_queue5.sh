@@ -31,3 +31,15 @@ test -f $CKPT/bs40r/40000_net_R.pth \
   && timeout 3000 python test.py $EVAL --refine_t 1.00 --refine_steps 16 --refine_avg 8 --log_results r4q5_ema_t100_s16_avg8 \
   && timeout 3000 python test.py $EVAL --refine_t 0.50 --refine_steps 8 --refine_avg 8 --log_results r4q5_ema_t050_s8_avg8 \
   && echo R4_QUEUE5_DONE
+
+# Follow-ups to queue3's near-headline: complex-domain avg8 hit SNR
+# 3.83 (GL control 2.27; the ORACLE-magnitude GL ceiling is 3.82).
+# avg32 asks whether the model's posterior mean crosses the literal
+# >4 dB criterion; the t0.5 arms anchor the chain on G's magnitude
+# (zero-phase init) to try to hold hole-PSNR while keeping the SNR win.
+CEVAL="--name lgap4 --checkpoints_dir $CKPT --long_gap --results_dir /tmp/r4q5_res --dataset_mode synthetic --how_many 16 --which_epoch 10000 --refiner --refiner_domain complex"
+test -f $CKPT/lgap4/40000_net_R.pth \
+  && timeout 4800 python test.py $CEVAL --refine_t 1.0 --refine_steps 16 --refine_avg 32 --log_results r4q5_cplx_t100_s16_avg32 \
+  && timeout 1500 python test.py $CEVAL --refine_t 0.5 --refine_steps 16 --log_results r4q5_cplx_t050_s16 \
+  && timeout 3000 python test.py $CEVAL --refine_t 0.5 --refine_steps 16 --refine_avg 8 --log_results r4q5_cplx_t050_s16_avg8 \
+  && echo R4_QUEUE5B_DONE
