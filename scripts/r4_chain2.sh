@@ -15,8 +15,11 @@
 echo $$ > /tmp/q_r4_chain2.pid
 cd /root/repo || exit 1
 
-CHAIN_PID=$(cat /tmp/q_r4_chain.pid 2>/dev/null)
-while [ -n "$CHAIN_PID" ] && kill -0 "$CHAIN_PID" 2>/dev/null; do
+# Re-read each iteration + PID-reuse guard (a dead pid can be recycled
+# by an unrelated process — observed live: a kworker took queue5's pid
+# and wedged queue6's kill -0 wait forever).
+while CHAIN_PID=$(cat /tmp/q_r4_chain.pid 2>/dev/null) && [ -n "$CHAIN_PID" ] \
+      && ps -p "$CHAIN_PID" -o cmd= 2>/dev/null | grep -qE "r4_|test\.py|train_refiner|quality_long"; do
   sleep 60
 done
 

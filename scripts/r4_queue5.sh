@@ -16,8 +16,9 @@
 echo $$ > /tmp/q_r4_5.pid
 cd /root/repo || exit 1
 
-CHAIN_PID=$(cat /tmp/q_r4_chain.pid 2>/dev/null)
-while [ -n "$CHAIN_PID" ] && kill -0 "$CHAIN_PID" 2>/dev/null; do
+# Re-read each iteration + PID-reuse guard (see r4_queue6.sh).
+while CHAIN_PID=$(cat /tmp/q_r4_chain.pid 2>/dev/null) && [ -n "$CHAIN_PID" ] \
+      && ps -p "$CHAIN_PID" -o cmd= 2>/dev/null | grep -qE "r4_|test\.py|train_refiner|quality_long"; do
   sleep 60
 done
 set -x

@@ -14,8 +14,10 @@
 echo $$ > /tmp/q_r4_8.pid
 cd /root/repo || exit 1
 
-PREV_PID=$(cat /tmp/q_r4_7.pid 2>/dev/null)
-while [ -n "$PREV_PID" ] && kill -0 "$PREV_PID" 2>/dev/null; do
+# Re-read the pid file each iteration (rm releases the wait) and guard
+# against PID reuse by checking the live process is one of ours.
+while PREV_PID=$(cat /tmp/q_r4_7.pid 2>/dev/null) && [ -n "$PREV_PID" ] \
+      && ps -p "$PREV_PID" -o cmd= 2>/dev/null | grep -qE "r4_|test\.py|train_refiner|quality_long"; do
   sleep 60
 done
 set -x
