@@ -524,9 +524,7 @@ def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
         # is linear in (re, im), so averaging K complex samples equals
         # averaging K waveforms — the MSE/SNR-optimal estimator the
         # sampler can offer (see train.step.make_infer_fn refine_avg).
-        def one_sample(s):
-            ks = (knoise if s == 0
-                  else jax.random.fold_in(knoise, 0xA76 + s))
+        def one_sample(ks):
             return ddim_refine_complex(
                 r_def, r_state, g_img, batch, cplx, ks, steps=steps,
                 t_start=t_start, noise_scale=noise_scale,
@@ -535,10 +533,15 @@ def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
             )
 
         if refine_avg <= 1:
-            refined = one_sample(0)
+            refined = one_sample(knoise)
         else:
-            refined = sum(one_sample(s)
-                          for s in range(refine_avg)) / refine_avg
+            # vmap over sample keys: one compiled DDIM scan at K*B
+            # effective batch (see train.step refine_avg). Key folds
+            # match the unrolled version (s=0 = base stream).
+            keys = jnp.stack(
+                [knoise] + [jax.random.fold_in(knoise, 0xA76 + s)
+                            for s in range(1, refine_avg)])
+            refined = jnp.mean(jax.vmap(one_sample)(keys), axis=0)
         re, im = complex_decompress(refined[..., 0], refined[..., 1],
                                     cfg.compress_ceiling)
         n_frames = cfg.stft.num_frames(wav.shape[-1])
