@@ -17,14 +17,31 @@ GROUPS = {
     "queue1 (mag refiner ladder, notes)": ("r4q1_", "hole_psnr_mean"),
     "queue2 (hole-only + RePaint, notes)": ("r4q2_", "hole_psnr_mean"),
     "queue3 (complex-domain, long-gap)": ("r4q3_", "snr_mean"),
+    # Post-snapshot tail (VERDICT r4 weak #3): adjudicated round 5.
+    "queue5 (posterior-mean avg-K, notes)": ("r4q5_ema", "hole_psnr_mean"),
+    "queue6 (L1 vs L2 estimator fine-tune, notes)":
+        ("r4q6_", "hole_psnr_mean"),
+    "queue7 (best-stack 60k/80k continuation, notes)":
+        ("r4q7_", "hole_psnr_mean"),
+    "queue8 (regression+refiner ensemble mix, notes)":
+        ("r4q8_", "hole_psnr_mean"),
 }
 
 CONTROLS = {
-    # queue1/queue2 compare against the frozen G's own no-refiner eval.
-    "queue1 (mag refiner ladder, notes)": "r4q4_",
-    "queue2 (hole-only + RePaint, notes)": "r4q4_",
+    # queue1/queue2 compare against the frozen G's own no-refiner eval
+    # — the 40k best-stack row, NOT the latest r4q4 row (the later
+    # retrain row is a trajectory-noise replicate, 39.24 vs 39.62).
+    "queue1 (mag refiner ladder, notes)": "r4q4_beststack_40k",
+    "queue2 (hole-only + RePaint, notes)": "r4q4_beststack_40k",
     # queue3's control is its own GL x64 arm.
     "queue3 (complex-domain, long-gap)": "r4q3_control",
+    # The tail queues all ride the frozen 40k best-stack G control.
+    "queue5 (posterior-mean avg-K, notes)": "r4q4_beststack_40k",
+    "queue6 (L1 vs L2 estimator fine-tune, notes)": "r4q4_beststack_40k",
+    "queue7 (best-stack 60k/80k continuation, notes)":
+        "r4q4_beststack_40k",
+    "queue8 (regression+refiner ensemble mix, notes)":
+        "r4q4_beststack_40k",
 }
 
 
@@ -51,8 +68,10 @@ def main() -> None:
         ctrl_prefix = CONTROLS.get(title)
         ctrl = None
         if ctrl_prefix:
-            ctrls = [d for d in rows if d["tag"].startswith(ctrl_prefix)
-                     and "refine" not in d["tag"]]
+            exact = [d for d in rows if d["tag"] == ctrl_prefix]
+            ctrls = exact or [d for d in rows
+                              if d["tag"].startswith(ctrl_prefix)
+                              and "refine" not in d["tag"]]
             if ctrls:
                 ctrl = max(ctrls, key=lambda d: d["t"])
         sel.sort(key=lambda d: -d.get(metric, float("-inf")))

@@ -136,6 +136,12 @@ def main():
     model = VIAIModel(opt)
     start = 0
     if args.resume_step:
+        if args.resume_step >= args.steps:
+            # ADVICE r4 #4: a completed run re-probed by a queue script
+            # would otherwise skip the loop and KeyError on losses.
+            print(f"resume_step {args.resume_step} >= steps "
+                  f"{args.steps}: nothing to train", flush=True)
+            sys.exit(0)
         model.load_networks(str(args.resume_step))
         start = args.resume_step
         print(f"resumed full train state @ {start}", flush=True)

@@ -135,6 +135,11 @@ def main():
     r_opt = r_tx.init(r_state)
     start = 0
     if args.resume_step:
+        if args.resume_step >= args.steps:
+            # ADVICE r4 #4: guard the no-op-resume KeyError.
+            print(f"resume_step {args.resume_step} >= steps "
+                  f"{args.steps}: nothing to train", flush=True)
+            sys.exit(0)
         from viai_tpu.io.checkpoint import load_train_state
 
         tpl = jax.device_get({"r": r_state, "opt": r_opt, "ema": r_ema})

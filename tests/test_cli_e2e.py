@@ -123,3 +123,35 @@ def test_continue_train_cli(tmp_path):
     m2 = train_main(base + ["--continue_train", "--which_epoch", "latest"])
     # Resumed from step 2 and ran 2 more.
     assert int(m2.state["step"]) == 4
+
+
+def test_ensemble_eval_cli(tmp_path):
+    """Round-5 seed-ensemble (--ensemble_names): two independently
+    seeded tiny runs, evaluated (a) singly and (b) ensembled. Pins the
+    exact identity ensemble(e5a, e5a) == single(e5a) — averaging a G
+    with itself is the identity in compressed-mag space, so the whole
+    stacked-vmap path must reproduce the single-G chain bitwise-modulo-
+    float — and that a genuine 2-G ensemble runs finite and differs."""
+    ckpt = str(tmp_path / "ckpts")
+    for name, seed in (("e5a", "1"), ("e5b", "7")):
+        train_main(TINY + [
+            "--name", name, "--checkpoints_dir", ckpt, "--seed", seed,
+            "--niter", "1", "--niter_decay", "0", "--steps_per_epoch", "2",
+            "--save_epoch_freq", "1", "--lr_policy", "constant",
+            "--print_freq", "1",
+        ])
+    results = str(tmp_path / "results")
+    base = TINY + [
+        "--checkpoints_dir", ckpt, "--results_dir", results,
+        "--which_epoch", "latest", "--how_many", "2",
+    ]
+    single = infer_main(base + ["--name", "e5a"])
+    self_ens = infer_main(base + ["--name", "e5a",
+                                  "--ensemble_names", "e5a"])
+    assert abs(single["hole_psnr_mean"] - self_ens["hole_psnr_mean"]) < 1e-3
+    assert abs(single["psnr_mean"] - self_ens["psnr_mean"]) < 1e-3
+    two = infer_main(base + ["--name", "e5a", "--ensemble_names", "e5b"])
+    assert two["n"] == 2
+    import numpy as np
+    assert np.isfinite(two["hole_psnr_mean"])
+    assert abs(two["hole_psnr_mean"] - single["hole_psnr_mean"]) > 1e-6

@@ -325,3 +325,44 @@ def test_video_net_matches_torch_twin(tmp_path):
     theirs = theirs.numpy()
     assert ours.shape == theirs.shape
     np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
+
+
+def test_torch_conv_layout_transpose_guard_and_module_map():
+    """ADVICE r4 #2: torch ConvTransposeNd stores (cin, cout, k...) —
+    the OPPOSITE channel order of ConvNd — so the generic key-based
+    shim must refuse kernels that name a transposed conv (the plain
+    transpose would silently swap channel axes whenever cin == cout),
+    and the module-aware torch_conv_layout_for must apply the correct
+    per-layer transpose by walking the live nnx graph."""
+    from flax import nnx
+
+    from viai_tpu.io.checkpoint import (torch_conv_layout,
+                                        torch_conv_layout_for)
+
+    # Guard: a key that unambiguously names a transposed conv raises.
+    a_t = np.arange(3 * 4 * 5 * 5, dtype=np.float32).reshape(3, 4, 5, 5)
+    with np.testing.assert_raises(ValueError):
+        torch_conv_layout("ups.0.deconv.kernel", a_t)
+
+    class M(nnx.Module):
+        def __init__(self, rngs):
+            self.c = nnx.Conv(3, 4, (5, 5), rngs=rngs)
+            self.t = nnx.ConvTranspose(3, 4, (5, 5), rngs=rngs)
+
+    vm = torch_conv_layout_for(M(nnx.Rngs(0)))
+    # torch ConvTranspose2d (cin=3, cout=4, kh, kw) → flax
+    # (kh, kw, cin=3, cout=4): transpose (2, 3, 0, 1).
+    got_t = vm("t.kernel", a_t)
+    assert got_t.shape == (5, 5, 3, 4)
+    np.testing.assert_array_equal(got_t,
+                                  np.transpose(a_t, (2, 3, 0, 1)))
+    # torch Conv2d (cout=4, cin=3, kh, kw) → flax (kh, kw, cin, cout):
+    # the plain-conv transpose (2, 3, 1, 0), untouched by the map.
+    a_c = np.arange(4 * 3 * 5 * 5, dtype=np.float32).reshape(4, 3, 5, 5)
+    got_c = vm("c.kernel", a_c)
+    assert got_c.shape == (5, 5, 3, 4)
+    np.testing.assert_array_equal(got_c,
+                                  np.transpose(a_c, (2, 3, 1, 0)))
+    # Non-kernel leaves pass through both maps.
+    b = np.arange(4, dtype=np.float32)
+    np.testing.assert_array_equal(vm("c.bias", b), b)

@@ -56,20 +56,20 @@ def main(args=None):
 
     # --eval_samples K > 1: best-of-K posterior sampling (refiner only —
     # the G+GL chain is deterministic given the mask). Each sample is
-    # the SAME inpainting task under a decoupled refiner-noise stream;
-    # per-clip the best hole-PSNR sample is kept. The gap between
-    # best-of-K and single-sample separates "the diffusion model can't
-    # represent the posterior" from "mean-PSNR punishes sampling from a
-    # multimodal posterior" (round-4 attribution arm).
+    # the SAME inpainting task under a decoupled refiner-noise stream.
+    # The best-of-K pick maximizes GROUND-TRUTH hole-PSNR — an oracle
+    # diagnostic of posterior coverage, never a serving estimator — so
+    # its metrics are namespaced *_bok_* and the HEADLINE summary fields
+    # stay the first-sample (non-oracle) values (ADVICE r4 #1). One
+    # compiled infer fn serves all K streams via a traced noise fold
+    # (ADVICE r4 #3: K baked folds used to compile the chain K times).
     n_samples = int(getattr(opt, "eval_samples", 1))
     if n_samples > 1 and model.r_def is None:
         print("[test] --eval_samples needs --refiner (chain is "
               "deterministic without it); falling back to 1 sample")
         n_samples = 1
-    infer_fns = [model.infer_fn]
     if n_samples > 1:
-        infer_fns += [model._build_infer_fn(noise_fold=s)
-                      for s in range(1, n_samples)]
+        infer_one = model._build_infer_fn(runtime_fold=True)
 
     results_dir = os.path.join(
         opt.results_dir, opt.name, f"{opt.phase}_{opt.which_epoch}"
@@ -77,7 +77,7 @@ def main(args=None):
     gallery = HTMLGallery(results_dir, f"{opt.name} — epoch {opt.which_epoch}")
 
     all_psnr, all_hole_psnr, all_snr, all_sc = [], [], [], []
-    all_hole_psnr_s1 = []   # first-sample hole-PSNR (best-of-K runs)
+    bok_psnr, bok_hole, bok_snr, bok_sc = [], [], [], []
     n_done = 0
     key = jax.random.key(opt.seed)
     for batch in loader:
@@ -96,11 +96,17 @@ def main(args=None):
         m = pre["mask_img"][:, :, :n_fr]
 
         cand = []   # per sample: (hole, psnr, snr, sc, wav, img)
-        for fn in infer_fns:
-            out_wav = fn(
-                model.state["g"], model.state["v"], wav_in, kmask,
-                model._input["frames"],
-            )
+        for s in range(n_samples):
+            if n_samples > 1:
+                out_wav = infer_one(
+                    model.state["g"], model.state["v"], wav_in, kmask,
+                    model._input["frames"], jnp.int32(s),
+                )
+            else:
+                out_wav = model.infer_fn(
+                    model.state["g"], model.state["v"], wav_in, kmask,
+                    model._input["frames"],
+                )
             out_mag = stft_magnitude(out_wav, model.cfg.stft)
             out_img = compress(jnp.swapaxes(out_mag, -1, -2))[..., None]
             cand.append((
@@ -111,6 +117,12 @@ def main(args=None):
                                                 model.cfg.stft)),
                 out_wav, out_img,
             ))
+        # Headline metrics: the FIRST (non-oracle) sample, always.
+        s_hole, s_psnr, s_snr, s_sc = cand[0][:4]
+        all_psnr += list(s_psnr)
+        all_hole_psnr += list(s_hole)
+        all_snr += list(s_snr)
+        all_sc += list(s_sc)
         if len(cand) == 1:
             b_hole, b_psnr, b_snr, b_sc, out_wav, out_img = cand[0]
         else:
@@ -121,12 +133,12 @@ def main(args=None):
                  for b in range(holes.shape[1])])
             b_hole, b_psnr, b_snr, b_sc = (pick(0), pick(1), pick(2),
                                            pick(3))
+            # Gallery shows the best-of-K pick (labelled as such).
             out_wav, out_img = pick(4), pick(5)
-            all_hole_psnr_s1 += list(holes[0])
-        all_psnr += list(b_psnr)
-        all_hole_psnr += list(b_hole)
-        all_snr += list(b_snr)
-        all_sc += list(b_sc)
+            bok_hole += list(b_hole)
+            bok_psnr += list(b_psnr)
+            bok_snr += list(b_snr)
+            bok_sc += list(b_sc)
 
         wav_np = np.asarray(wav_in)
         out_np = np.asarray(out_wav)
@@ -153,26 +165,47 @@ def main(args=None):
             n_done += 1
 
     path = gallery.save()
-    summary = {
-        "n": n_done,
-        "psnr_mean": float(np.mean(all_psnr)) if all_psnr else float("nan"),
-        "hole_psnr_mean": (
-            float(np.mean(all_hole_psnr)) if all_hole_psnr else float("nan")
-        ),
-        "snr_mean": float(np.mean(all_snr)) if all_snr else float("nan"),
-        "spec_conv_mean": float(np.mean(all_sc)) if all_sc else float("nan"),
-    }
+
+    def _mean_sem(xs):
+        """(mean, standard error of the mean) — the error bar every
+        headline claim rides on (VERDICT r4 weak #4: n=16 evals showed
+        ±0.3–0.5 dB trajectory noise quoted to 0.01 dB)."""
+        if not xs:
+            return float("nan"), float("nan")
+        a = np.asarray(xs, np.float64)
+        sem = float(a.std(ddof=1) / np.sqrt(len(a))) if len(a) > 1 else 0.0
+        return float(a.mean()), sem
+
+    summary = {"n": n_done}
+    for name, xs in (("psnr", all_psnr), ("hole_psnr", all_hole_psnr),
+                     ("snr", all_snr), ("spec_conv", all_sc)):
+        summary[f"{name}_mean"], summary[f"{name}_sem"] = _mean_sem(xs)
     if n_samples > 1:
         summary["eval_samples"] = n_samples
-        summary["hole_psnr_s1_mean"] = (
-            float(np.mean(all_hole_psnr_s1)) if all_hole_psnr_s1
-            else float("nan"))
+        # Oracle-selected (ground-truth best-of-K) metrics, namespaced
+        # so analyzers can never rank them against non-oracle arms by
+        # accident (ADVICE r4 #1). hole_psnr_s1_mean is kept as an
+        # alias of the headline value for round-4 record continuity.
+        for name, xs in (("psnr", bok_psnr), ("hole_psnr", bok_hole),
+                         ("snr", bok_snr), ("spec_conv", bok_sc)):
+            summary[f"{name}_bok_mean"], summary[f"{name}_bok_sem"] = (
+                _mean_sem(xs))
+        summary["hole_psnr_s1_mean"] = summary["hole_psnr_mean"]
     print(f"results → {path}")
     print(
-        f"PSNR {summary['psnr_mean']:.2f} dB | hole-PSNR "
-        f"{summary['hole_psnr_mean']:.2f} dB | SNR {summary['snr_mean']:.2f} dB "
+        f"PSNR {summary['psnr_mean']:.2f}±{summary['psnr_sem']:.2f} dB | "
+        f"hole-PSNR {summary['hole_psnr_mean']:.2f}"
+        f"±{summary['hole_psnr_sem']:.2f} dB | "
+        f"SNR {summary['snr_mean']:.2f}±{summary['snr_sem']:.2f} dB "
         f"| specConv {summary['spec_conv_mean']:.4f} ({n_done} clips)"
     )
+    if n_samples > 1:
+        print(
+            f"best-of-{n_samples} (oracle pick): hole-PSNR "
+            f"{summary['hole_psnr_bok_mean']:.2f}"
+            f"±{summary['hole_psnr_bok_sem']:.2f} dB | SNR "
+            f"{summary['snr_bok_mean']:.2f} dB"
+        )
     if getattr(opt, "log_results", ""):
         # Durable eval record (ADVICE r3: /tmp wipes killed two queue
         # runs' results — append the summary where git can keep it:

@@ -315,6 +315,29 @@ class TestOptions(BaseOptions):
                             "— a single diffusion SAMPLE structurally "
                             "cannot beat a regression baseline on "
                             "them, the sample-average can; 1 = off")
+        p.add_argument("--refine_chunk", type=int, default=8,
+                       help="posterior-mean memory chunking: vmap at "
+                            "most this many refine_avg samples at a "
+                            "time (lax.scan running mean). Peak HBM is "
+                            "chunk×batch DDIM intermediates for any K "
+                            "— the round-4 K=32 compile OOM fix")
+        p.add_argument("--complex_mag", type=str, default="sample",
+                       choices=["sample", "keep", "mean"],
+                       help="complex-domain hybrid decode: phase always "
+                            "from the refined complex estimate; hole "
+                            "magnitude from the estimate itself "
+                            "('sample'), from G's regression "
+                            "prediction ('keep'), or from E[|x|] over "
+                            "the refine_avg samples ('mean' — "
+                            "shrinkage-free, unlike |E[x]|)")
+        p.add_argument("--ensemble_names", type=str, default="",
+                       help="comma-separated extra checkpoint run "
+                            "names (same architecture + --which_epoch)"
+                            " whose Gs are averaged with this run's in "
+                            "compressed-magnitude space — a deep "
+                            "ensemble over training seeds (the round-4"
+                            " mix arms proved estimator errors "
+                            "decorrelate across predictors)")
         p.add_argument("--refine_mix", type=float, default=0.0,
                        help="convex ensemble weight on the regression "
                             "G's hole vs the refiner estimate "

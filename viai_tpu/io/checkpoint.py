@@ -104,13 +104,67 @@ def torch_conv_layout(our_key: str, arr: np.ndarray) -> np.ndarray:
     (cout, cin, kd, kh, kw); flax wants (kh, kw, cin, cout) /
     (kd, kh, kw, cin, cout). Biases/norm vectors pass through. Applied
     only to `.kernel` leaves so rank-4/5 non-conv tensors are safe.
+
+    ConvTranspose caveat (ADVICE r4 #2): torch ConvTransposeNd stores
+    (cin, cout, k...) — the OPPOSITE channel order of ConvNd — so the
+    plain transpose below would silently swap in/out channels whenever
+    cin == cout (shape-compatible, numerically wrong). This generic
+    shim therefore rejects keys that unambiguously name a transposed
+    conv; for nets that contain nnx.ConvTranspose layers at plain-conv
+    key paths (deconv-mode generators/refiners: `ups.N.conv.kernel`),
+    build the value map from the LIVE module with
+    `torch_conv_layout_for(module)` instead — it knows each kernel's
+    true layer type.
     """
     if our_key.endswith(".kernel") or our_key.endswith("kernel"):
+        if arr.ndim in (4, 5):
+            low = our_key.lower()
+            if any(s in low for s in
+                   ("convtranspose", "conv_transpose", "deconv")):
+                raise ValueError(
+                    f"torch_conv_layout: {our_key!r} names a "
+                    "ConvTranspose kernel; torch stores those as "
+                    "(cin, cout, k...) — the generic (cout, cin) "
+                    "transpose would silently swap channel axes. Use "
+                    "torch_conv_layout_for(module) instead."
+                )
         if arr.ndim == 4:
             return np.transpose(arr, (2, 3, 1, 0))
         if arr.ndim == 5:
             return np.transpose(arr, (2, 3, 4, 1, 0))
     return arr
+
+
+def torch_conv_layout_for(module) -> tp.Callable[[str, np.ndarray],
+                                                 np.ndarray]:
+    """Module-aware torch layout shim (ADVICE r4 #2).
+
+    Walks the live nnx module tree, records the state paths of every
+    nnx.ConvTranspose kernel, and returns a value map that applies the
+    ConvTranspose layout — torch (cin, cout, kh, kw) → flax
+    (kh, kw, cin, cout), i.e. transpose (2, 3, 0, 1) — to exactly those
+    kernels and the plain Conv layout to everything else. Key paths
+    alone cannot distinguish the two (resize-mode generators keep plain
+    convs at the same `ups.N.conv` paths deconv mode puts transposed
+    convs at), so the distinction must come from the module.
+    """
+    from flax import nnx
+
+    tkeys = set()
+    for path, mod in nnx.iter_graph(module):
+        if isinstance(mod, nnx.ConvTranspose):
+            tkeys.add(".".join(str(p) for p in path) + ".kernel")
+
+    def value_map(our_key: str, arr: np.ndarray) -> np.ndarray:
+        if our_key in tkeys:
+            if arr.ndim == 4:
+                return np.transpose(arr, (2, 3, 0, 1))
+            if arr.ndim == 5:
+                return np.transpose(arr, (2, 3, 4, 0, 1))
+            return arr
+        return torch_conv_layout(our_key, arr)
+
+    return value_map
 
 
 def load_networks(

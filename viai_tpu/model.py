@@ -183,6 +183,19 @@ class VIAIModel:
         # and rebuilds infer_fn around the loaded state.
         self.r_def = self._r_state = None
         self._refiner_domain = getattr(opt, "refiner_domain", "mag")
+        # Seed-ensemble eval (round 5): --ensemble_names a,b loads K-1
+        # extra same-architecture Gs and averages all K predictions in
+        # compressed-mag space inside the chain (make_infer_fn
+        # n_ensemble). load_networks() stacks the states leafwise.
+        self._ensemble_names = [
+            n.strip() for n in
+            str(getattr(opt, "ensemble_names", "") or "").split(",")
+            if n.strip()]
+        self._n_ensemble = 1 + len(self._ensemble_names)
+        if self._n_ensemble > 1 and self._refiner_domain == "complex" \
+                and getattr(opt, "refiner", False):
+            raise ValueError("--ensemble_names is not supported with "
+                             "--refiner_domain complex")
         if not self.isTrain and getattr(opt, "refiner", False):
             from flax import nnx
             from .nn import define_R
@@ -205,10 +218,14 @@ class VIAIModel:
         self._last_step_key = None   # step key of the latest train step
         self._vis_infer = None       # lazy external-mask infer for visuals
 
-    def _build_infer_fn(self, noise_fold: int | None = None):
+    def _build_infer_fn(self, noise_fold: int | None = None,
+                        runtime_fold: bool = False):
         """noise_fold != None builds an infer fn whose refiner noise
         stream is decoupled from the mask key — K distinct folds give K
-        posterior samples of the SAME task (test.py --eval_samples)."""
+        posterior samples of the SAME task (test.py --eval_samples).
+        runtime_fold=True builds ONE fn taking the fold as a traced
+        trailing argument instead — one compile serves all K streams
+        (fold=s == noise_fold=s exactly)."""
         opt = self.opt
         if self.r_def is not None and self._refiner_domain == "complex":
             from .train.diffusion import make_complex_refiner_infer_fn
@@ -224,6 +241,9 @@ class VIAIModel:
                 clamp_mode=getattr(opt, "refine_clamp", "x0"),
                 resample=getattr(opt, "refine_resample", 0),
                 refine_avg=getattr(opt, "refine_avg", 1),
+                refine_chunk=getattr(opt, "refine_chunk", 8),
+                complex_mag=getattr(opt, "complex_mag", "sample"),
+                runtime_fold=runtime_fold,
                 **kw,
             )
         kw = {} if noise_fold is None else {"noise_fold": 0x5EED + noise_fold}
@@ -245,7 +265,10 @@ class VIAIModel:
             refine_clamp=getattr(opt, "refine_clamp", "x0"),
             refine_resample=getattr(opt, "refine_resample", 0),
             refine_avg=getattr(opt, "refine_avg", 1),
+            refine_chunk=getattr(opt, "refine_chunk", 8),
             refine_mix=getattr(opt, "refine_mix", 0.0),
+            runtime_fold=runtime_fold,
+            n_ensemble=self._n_ensemble,
             **kw,
         )
 
@@ -401,6 +424,21 @@ class VIAIModel:
             self.state["d"] = self._place_state(loaded["D"])
             if "V" in loaded:
                 self.state["v"] = self._place_state(loaded["V"])
+        if self._ensemble_names:
+            # Seed ensemble: load each extra run's G at the SAME epoch
+            # and stack all K states leafwise (leading K axis) — the
+            # layout make_infer_fn(n_ensemble=K) vmaps over.
+            base = jax.device_get(self.state["g"])
+            states = [base]
+            for name in self._ensemble_names:
+                loaded = load_networks(
+                    {"G": base}, which_epoch,
+                    f"{self.opt.checkpoints_dir}/{name}")
+                states.append(loaded["G"])
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *states)
+            self.state["g"] = self._place_state(stacked)
         if self.r_def is not None:
             tag = getattr(self.opt, "refiner_epoch", "latest")
             net = getattr(self.opt, "refiner_net", "R")  # R (EMA) | Rraw

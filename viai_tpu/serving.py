@@ -76,7 +76,9 @@ class InpaintService:
         refine_clamp: str = "x0",
         refine_resample: int = 0,
         refine_avg: int = 1,
+        refine_chunk: int = 8,
         refine_mix: float = 0.0,
+        complex_mag: str = "sample",
     ):
         """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
         bucket batch over the 'data' axis — DP serving across chips,
@@ -120,7 +122,8 @@ class InpaintService:
                 steps=refine_steps, t_start=refine_t,
                 noise_scale=refine_noise, guidance=refine_guidance,
                 clamp_mode=refine_clamp, resample=refine_resample,
-                refine_avg=refine_avg, external_mask=True,
+                refine_avg=refine_avg, refine_chunk=refine_chunk,
+                complex_mag=complex_mag, external_mask=True,
             )
         else:
             self._infer = make_infer_fn(
@@ -133,6 +136,7 @@ class InpaintService:
                 refine_clamp=refine_clamp,
                 refine_resample=refine_resample,
                 refine_avg=refine_avg,
+                refine_chunk=refine_chunk,
                 refine_mix=refine_mix,
             )
         self.stats = ServiceStats()

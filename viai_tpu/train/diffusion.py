@@ -481,6 +481,61 @@ def _mag_only_complex(g_img: jax.Array) -> jax.Array:
     return jnp.stack([cmag, jnp.zeros_like(cmag)], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Chunked posterior mean (round-5, VERDICT r4 next-round #1). The naive
+# vmap over K sample keys multiplies the DDIM chain's live intermediates
+# by K: refine_avg=32 at batch 16 on the 256×256 complex image needed
+# 17.31 G of the chip's 15.75 G HBM and killed the round-4 decision arms
+# at compile time. Averaging is associative, so the fix is structural:
+# scan over key CHUNKS, vmapping at most `chunk` keys at a time and
+# accumulating a running sum — peak HBM is chunk×B intermediates for any
+# K, and the result is the unchunked mean up to float-sum reordering.
+# ---------------------------------------------------------------------------
+
+def avg_keys(knoise: jax.Array, k: int) -> jax.Array:
+    """The K sample keys refine_avg uses: fold s=0 IS the base stream
+    (so avg1 == the single-sample run), s>=1 folds 0xA76+s. Kept in
+    lockstep with the round-4 unchunked implementation so historical
+    quality_results entries stay comparable."""
+    return jnp.stack([knoise] + [jax.random.fold_in(knoise, 0xA76 + s)
+                                 for s in range(1, k)])
+
+
+def chunked_mean(sample_stats, keys: jax.Array, chunk: int):
+    """Mean over `keys` of the pytree `sample_stats(key)` returns,
+    evaluated at most `chunk` keys at a time.
+
+    Full chunks run as ONE compiled vmap body inside a lax.scan with a
+    running-sum carry; a remainder (K % chunk) runs as one extra vmap
+    call. Exact up to summation order — iSTFT/GL-decode linearity is
+    NOT assumed here (the caller averages in whatever space it hands
+    in), only addition associativity.
+    """
+    k = int(keys.shape[0])
+    chunk = max(1, min(chunk, k))
+    vf = jax.vmap(sample_stats)
+    n_full, rem = divmod(k, chunk)
+    total = None
+    if n_full:
+        ks = keys[: n_full * chunk].reshape(n_full, chunk, *keys.shape[1:])
+        init = jax.tree.map(
+            lambda sd: jnp.zeros(sd.shape[1:], sd.dtype),
+            jax.eval_shape(vf, ks[0]),
+        )
+
+        def body(carry, kc):
+            s = vf(kc)
+            return jax.tree.map(lambda c, x: c + jnp.sum(x, axis=0),
+                                carry, s), None
+
+        total, _ = jax.lax.scan(body, init, ks)
+    if rem:
+        part = jax.tree.map(lambda x: jnp.sum(x, axis=0), vf(keys[-rem:]))
+        total = part if total is None else jax.tree.map(
+            jnp.add, total, part)
+    return jax.tree.map(lambda t: t / k, total)
+
+
 def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
                                   cfg: TrainConfig, steps: int = 8,
                                   t_start: float = 1.0,
@@ -489,8 +544,11 @@ def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
                                   clamp_mode: str = "x0",
                                   resample: int = 0,
                                   refine_avg: int = 1,
+                                  refine_chunk: int = 8,
+                                  complex_mag: str = "sample",
                                   external_mask: bool = False,
-                                  noise_fold: int = 0xC0):
+                                  noise_fold: int = 0xC0,
+                                  runtime_fold: bool = False):
     """jit'd (g_state, v_state, wav, key_or_mask, frames) → waveform.
 
     The GL-free serving chain: STFT → mask → G (magnitude conditioning)
@@ -498,19 +556,48 @@ def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
     (observed region VERBATIM — exact magnitude and phase) → one iSTFT.
     Same signature as train.step.make_infer_fn so test.py/serving can
     swap it in via --refiner_domain complex.
+
+    refine_avg > 1 computes the posterior MEAN over K noise streams,
+    `refine_chunk` samples at a time (chunked_mean — the round-4 OOM
+    fix; peak HBM is chunk×B DDIM intermediates for any K).
+
+    complex_mag — the round-5 HYBRID decode (VERDICT r4 next-round #2).
+    The complex posterior mean owns waveform SNR but its magnitude
+    SHRINKS toward zero wherever the phase posterior is wide (averaging
+    misaligned phasors cancels), collapsing hole-PSNR. Decoupling the
+    axes: take the PHASE of the posterior mean (its SNR-winning part)
+    and restore the magnitude from a regression-quality estimate:
+      'sample' — decode the mean verbatim (round-4 behavior; default);
+      'keep'   — hole magnitude from G's prediction (the hole-PSNR
+                 owner), phase from the posterior mean;
+      'mean'   — hole magnitude = E[|x|] over the K samples in the
+                 LINEAR domain (shrinkage-free, unlike |E[x]|), phase
+                 from the posterior mean.
+    Observed region is verbatim under every mode.
+
+    runtime_fold=True appends a traced int argument `fold` to the
+    signature and derives the refiner noise stream from it at RUNTIME —
+    one compiled program serves all of test.py --eval_samples' K
+    streams (ADVICE r4: K baked folds compiled the full chain K times).
+    fold semantics match the baked noise_fold exactly: fold=s ==
+    noise_fold=0xC0+s.
     """
+    if complex_mag not in ("sample", "keep", "mean"):
+        raise ValueError(f"unknown complex_mag: {complex_mag!r}")
+    from ..signal.mel import decompress
     from .step import preprocess_with_mask
 
     @jax.jit
-    def infer(g_state, v_state, wav, key_or_mask, frames=None):
+    def infer(g_state, v_state, wav, key_or_mask, frames=None, fold=None):
         # noise_fold: see train.step.make_infer_fn — distinct folds give
         # distinct posterior samples of the same task (--eval_samples).
+        nf = fold if runtime_fold else noise_fold - 0xC0
         if external_mask:
             batch = preprocess_with_mask(wav, key_or_mask, cfg)
-            knoise = jax.random.key(noise_fold - 0xC0)
+            knoise = jax.random.key(nf)
         else:
             batch = preprocess(wav, key_or_mask, cfg)
-            knoise = jax.random.fold_in(key_or_mask, noise_fold)
+            knoise = jax.random.fold_in(key_or_mask, 0xC0 + nf)
         G = nnx.merge(g_def, g_state)
         feats = None
         if cfg.use_video:
@@ -524,26 +611,41 @@ def make_complex_refiner_infer_fn(g_def, v_def, r_def, r_state,
         # is linear in (re, im), so averaging K complex samples equals
         # averaging K waveforms — the MSE/SNR-optimal estimator the
         # sampler can offer (see train.step.make_infer_fn refine_avg).
-        def one_sample(ks):
-            return ddim_refine_complex(
+        def sample_stats(ks):
+            x = ddim_refine_complex(
                 r_def, r_state, g_img, batch, cplx, ks, steps=steps,
                 t_start=t_start, noise_scale=noise_scale,
                 guidance=guidance, clamp_mode=clamp_mode,
                 resample=resample,
             )
+            stats = {"c": x}
+            if complex_mag == "mean":
+                sre, sim = complex_decompress(x[..., 0], x[..., 1],
+                                              cfg.compress_ceiling)
+                stats["mag"] = jnp.sqrt(sre * sre + sim * sim)
+            return stats
 
         if refine_avg <= 1:
-            refined = one_sample(knoise)
+            stats = sample_stats(knoise)
         else:
-            # vmap over sample keys: one compiled DDIM scan at K*B
-            # effective batch (see train.step refine_avg). Key folds
-            # match the unrolled version (s=0 = base stream).
-            keys = jnp.stack(
-                [knoise] + [jax.random.fold_in(knoise, 0xA76 + s)
-                            for s in range(1, refine_avg)])
-            refined = jnp.mean(jax.vmap(one_sample)(keys), axis=0)
+            stats = chunked_mean(sample_stats,
+                                 avg_keys(knoise, refine_avg),
+                                 refine_chunk)
+        refined = stats["c"]
         re, im = complex_decompress(refined[..., 0], refined[..., 1],
                                     cfg.compress_ceiling)
+        if complex_mag != "sample":
+            # Hybrid recomposition: unit phasor of the posterior mean ×
+            # the chosen magnitude, hole only (observed stays verbatim).
+            pm = jnp.sqrt(re * re + im * im)
+            inv = 1.0 / jnp.maximum(pm, 1e-12)
+            if complex_mag == "keep":
+                mag_new = decompress(g_img[..., 0], cfg.compress_ceiling)
+            else:
+                mag_new = stats["mag"]
+            hole = 1.0 - batch["mask_img"][..., 0]
+            re = jnp.where(hole > 0, re * inv * mag_new, re)
+            im = jnp.where(hole > 0, im * inv * mag_new, im)
         n_frames = cfg.stft.num_frames(wav.shape[-1])
         re = jnp.swapaxes(re[..., :n_frames], -1, -2)   # (B, F, bins)
         im = jnp.swapaxes(im[..., :n_frames], -1, -2)

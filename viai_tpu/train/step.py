@@ -410,7 +410,9 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                   refine_t: float = 0.35, refine_noise: float = 1.0,
                   refine_guidance: float = 0.0, refine_clamp: str = "x0",
                   refine_resample: int = 0, refine_avg: int = 1,
-                  refine_mix: float = 0.0, noise_fold: int = 0x5EED):
+                  refine_chunk: int = 8, refine_mix: float = 0.0,
+                  noise_fold: int = 0x5EED, runtime_fold: bool = False,
+                  n_ensemble: int = 1):
     """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
 
     Full chain: STFT → mask → G inpaint → composite (observed region is
@@ -460,6 +462,16 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
     a compile-time constant — eval-only plumbing, like the reference's
     fixed test-time weights. refine_t=1.0 = full generation from noise.
 
+    n_ensemble K > 1 (round-5 information-exploitation lever): g_state
+    must be a pytree whose leaves carry a leading K axis (K
+    independently-seeded Gs of the SAME architecture, stacked leafwise)
+    and `fake` becomes the MEAN of the K predictions in the
+    compressed-magnitude metric space — a deep ensemble. The round-4
+    mix arms proved the estimator errors decorrelate across
+    independently-trained predictors; averaging exploits that at
+    O(1/K) variance reduction in exactly the space the metric scores.
+    One vmap'd G apply per chain — K× G FLOPs, GL unchanged.
+
     oracle_mag=True replaces the PREDICTED hole magnitude with the
     ground-truth one (after the same compress→decompress image
     round-trip a perfect G would incur) — the pipeline's reconstruction
@@ -478,19 +490,28 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                          "(a G trained with --phase_head)")
 
     @functools.partial(jax.jit, static_argnames=())
-    def infer(g_state, v_state, wav, key_or_mask, frames=None):
+    def infer(g_state, v_state, wav, key_or_mask, frames=None, fold=None):
         if external_mask:
             batch = preprocess_with_mask(wav, key_or_mask, cfg)
         else:
             batch = preprocess(wav, key_or_mask, cfg)
-        G = nnx.merge(g_def, g_state)
         feats = None
         if cfg.use_video:
             V = nnx.merge(v_def, v_state)
             feats = V(frames)
-        fake = G(_g_input(batch), feats)
+        if n_ensemble > 1:
+            # Deep ensemble: g_state leaves carry a leading K axis; the
+            # K predictions are averaged in compressed-mag space (the
+            # metric space) before compositing/GL. Phase-head channels
+            # (cos, sin) average too — downstream normalizes phasors.
+            fake = jnp.mean(
+                jax.vmap(lambda gs: nnx.merge(g_def, gs)(
+                    _g_input(batch), feats))(g_state), axis=0)
+        else:
+            G = nnx.merge(g_def, g_state)
+            fake = G(_g_input(batch), feats)
         if refiner is not None:
-            from .diffusion import ddim_refine
+            from .diffusion import avg_keys, chunked_mean, ddim_refine
 
             r_def, r_state = refiner
             # noise_fold decouples the refiner's sampling noise from the
@@ -498,8 +519,13 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
             # K posterior samples of the SAME inpainting task (test.py
             # --eval_samples, the best-of-K posterior-coverage
             # diagnostic). Default reproduces the original stream.
-            knoise = (jax.random.key(noise_fold - 0x5EED) if external_mask
-                      else jax.random.fold_in(key_or_mask, noise_fold))
+            # runtime_fold=True instead takes the fold as a TRACED
+            # argument (extra trailing arg), so one compiled program
+            # serves all K streams (ADVICE r4: K baked folds = K full
+            # recompiles). fold=s == noise_fold=0x5EED+s exactly.
+            nf = fold if runtime_fold else noise_fold - 0x5EED
+            knoise = (jax.random.key(nf) if external_mask
+                      else jax.random.fold_in(key_or_mask, 0x5EED + nf))
             # refine_avg > 1: POSTERIOR-MEAN estimate — average K
             # independent-noise refinements of the hole (in the
             # compressed-magnitude metric space) before the single GL
@@ -518,14 +544,15 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
             if refine_avg <= 1:
                 refined = one_sample(knoise)
             else:
-                # vmap over the K sample keys instead of unrolling K
-                # chains: one compiled DDIM scan at K*B effective batch
-                # (bigger matmuls on the MXU, K x less compile). Key
-                # folds match the unrolled version (s=0 = base stream).
-                keys = jnp.stack(
-                    [knoise] + [jax.random.fold_in(knoise, 0xA76 + s)
-                                for s in range(1, refine_avg)])
-                refined = jnp.mean(jax.vmap(one_sample)(keys), axis=0)
+                # Chunked posterior mean (diffusion.chunked_mean): vmap
+                # at most refine_chunk keys at a time inside a running-
+                # sum lax.scan. The round-4 full-K vmap multiplied the
+                # DDIM chain's live HBM by K (K=32 @ batch 16 OOM'd at
+                # compile); chunking caps peak HBM at chunk×B for any K
+                # while keeping the same key folds (s=0 = base stream).
+                refined = chunked_mean(one_sample,
+                                       avg_keys(knoise, refine_avg),
+                                       refine_chunk)
             # refine_mix in (0, 1]: convex ENSEMBLE of the regression
             # G's hole (weight mix) and the refiner estimate (1-mix).
             # Both estimate the same posterior mean with different
