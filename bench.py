@@ -55,6 +55,16 @@ def main():
                          "(the reference chain / round-1 unit of work); "
                          "the default benchmarks the product default "
                          "(phase-aware), a strictly heavier chain")
+    ap.add_argument("--preset", type=str, default="default",
+                    choices=["default", "refiner_mag", "refiner_complex",
+                             "hybrid"],
+                    help="quality-path chains (VERDICT r4 #7): "
+                         "refiner_mag = +8-step DDIM magnitude refiner "
+                         "before GL; refiner_complex = GL-free complex "
+                         "decode, 16 steps + posterior mean over 8 "
+                         "samples (refine_chunk 8); hybrid = "
+                         "refiner_complex + --complex_mag keep. The "
+                         "driver headline stays preset=default")
     args = ap.parse_args()
 
     import dataclasses
@@ -73,9 +83,33 @@ def main():
     cfg = dataclasses.replace(cfg, gl_backend=args.gl_backend)
     G = define_G(dtype=args.dtype)
     g_def, g_state = nnx.split(G)
-    infer = make_infer_fn(g_def, None, cfg, n_gl_iter=args.gl_iters,
-                          phase_aware=not args.no_phase_aware,
-                          phase_init=args.phase_init)
+    if args.preset == "default":
+        infer = make_infer_fn(g_def, None, cfg, n_gl_iter=args.gl_iters,
+                              phase_aware=not args.no_phase_aware,
+                              phase_init=args.phase_init)
+    elif args.preset == "refiner_mag":
+        # Throughput is weight-independent: a fresh-init R runs the
+        # identical program the trained one does.
+        from viai_tpu.nn import define_R
+
+        R = define_R(4, dtype=args.dtype)
+        infer = make_infer_fn(g_def, None, cfg, n_gl_iter=args.gl_iters,
+                              phase_aware=not args.no_phase_aware,
+                              phase_init=args.phase_init,
+                              refiner=nnx.split(R), refine_steps=8,
+                              refine_t=0.35)
+    else:  # refiner_complex | hybrid — the GL-free decode chains
+        from viai_tpu.nn import define_R
+        from viai_tpu.train.diffusion import (
+            complex_refiner_channels, make_complex_refiner_infer_fn)
+
+        r_in, r_out = complex_refiner_channels(2)
+        R = define_R(r_in, dtype=args.dtype, out_channels=r_out)
+        r_def, r_state = nnx.split(R)
+        infer = make_complex_refiner_infer_fn(
+            g_def, None, r_def, r_state, cfg, steps=16, t_start=1.0,
+            refine_avg=8, refine_chunk=8,
+            complex_mag="keep" if args.preset == "hybrid" else "sample")
 
     rng = np.random.default_rng(0)
     wav = jax.numpy.asarray(
@@ -160,9 +194,14 @@ def main():
     n_chips = jax.device_count()
     clips_per_sec = float(np.median(plateau))
     per_chip = clips_per_sec / n_chips
+    chain = (f"2s inpaint + Griffin-Lim x{args.gl_iters}"
+             if args.preset == "default" else
+             "2s inpaint + 8-step DDIM refiner + Griffin-Lim x"
+             f"{args.gl_iters}" if args.preset == "refiner_mag" else
+             f"2s inpaint + complex DDIM x16 avg8 GL-free decode"
+             + (" + mag-keep hybrid" if args.preset == "hybrid" else ""))
     print(json.dumps({
-        "metric": "clips_per_sec_per_chip (2s inpaint + Griffin-Lim x"
-                  f"{args.gl_iters})",
+        "metric": f"clips_per_sec_per_chip ({chain})",
         "value": round(per_chip, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(per_chip / 250.0, 3),

@@ -63,6 +63,11 @@ def main():
     ap.add_argument("--cond_drop", type=float, default=0.0,
                     help="per-sample prob of zeroing the g_pred cond "
                          "channel (classifier-free-guidance training)")
+    ap.add_argument("--self_cond", action="store_true",
+                    help="self-conditioning (round 5, VERDICT r4 #6b): "
+                         "R carries its own previous x̂0 as extra input "
+                         "channel(s); eval with test.py "
+                         "--refine_selfcond")
     ap.add_argument("--rngf", type=int, default=64, help="refiner width")
     ap.add_argument("--resume_step", type=int, default=0,
                     help="resume from the R{N}_state orbax checkpoint "
@@ -121,9 +126,10 @@ def main():
 
     input_nc = 3 if model.cfg.multi_res else 2
     if args.domain == "complex":
-        r_in, r_out = complex_refiner_channels(input_nc)
+        r_in, r_out = complex_refiner_channels(input_nc,
+                                               self_cond=args.self_cond)
     else:
-        r_in, r_out = input_nc + 2, 1
+        r_in, r_out = input_nc + 2 + (1 if args.self_cond else 0), 1
     R = define_R(r_in, ngf=args.rngf, dtype=opt.dtype,
                  seed=args.seed + 3, out_channels=r_out)
     r_def, r_state = nnx.split(R)
@@ -158,6 +164,7 @@ def main():
         hole_weight=args.hole_weight,
         observed_weight=args.observed_weight,
         cond_drop=args.cond_drop, ema_decay=args.ema_decay,
+        self_cond=args.self_cond,
     )
 
     it = SyntheticBatchIterator(

@@ -217,6 +217,13 @@ def main(args=None):
                "name": opt.name, "which_epoch": opt.which_epoch,
                "dataset_mode": opt.dataset_mode, **summary,
                "t": _time.time()}
+        # Per-clip hole-PSNRs (same --seed → same mask stream): two
+        # arms' records zip into PAIRED per-clip deltas, whose SEM is
+        # ~10× tighter than the unpaired ±1.2 dB clip-difficulty
+        # spread — the statistic 0.1-dB recipe comparisons need.
+        if len(all_hole_psnr) <= 256:
+            rec["hole_psnr_clips"] = [round(float(x), 3)
+                                      for x in all_hole_psnr]
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))),
             "scripts", "quality_results.jsonl")

@@ -330,6 +330,13 @@ class TestOptions(BaseOptions):
                             "prediction ('keep'), or from E[|x|] over "
                             "the refine_avg samples ('mean' — "
                             "shrinkage-free, unlike |E[x]|)")
+        p.add_argument("--refine_selfcond", action="store_true",
+                       help="the refiner was trained with "
+                            "self-conditioning (train_refiner.py "
+                            "--self_cond: R carries its previous x̂0 "
+                            "as an extra input channel); each DDIM "
+                            "step feeds the prior step's estimate "
+                            "forward")
         p.add_argument("--ensemble_names", type=str, default="",
                        help="comma-separated extra checkpoint run "
                             "names (same architecture + --which_epoch)"

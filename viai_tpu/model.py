@@ -200,12 +200,14 @@ class VIAIModel:
             from flax import nnx
             from .nn import define_R
 
+            sc = getattr(opt, "refine_selfcond", False)
             if self._refiner_domain == "complex":
                 from .train.diffusion import complex_refiner_channels
 
-                r_in, r_out = complex_refiner_channels(input_nc)
+                r_in, r_out = complex_refiner_channels(input_nc,
+                                                       self_cond=sc)
             else:
-                r_in, r_out = input_nc + 2, 1
+                r_in, r_out = input_nc + 2 + (1 if sc else 0), 1
             R = define_R(r_in, getattr(opt, "rngf", 64),
                          dtype=opt.dtype, seed=opt.seed + 3,
                          out_channels=r_out)
@@ -243,6 +245,7 @@ class VIAIModel:
                 refine_avg=getattr(opt, "refine_avg", 1),
                 refine_chunk=getattr(opt, "refine_chunk", 8),
                 complex_mag=getattr(opt, "complex_mag", "sample"),
+                self_cond=getattr(opt, "refine_selfcond", False),
                 runtime_fold=runtime_fold,
                 **kw,
             )
@@ -267,6 +270,7 @@ class VIAIModel:
             refine_avg=getattr(opt, "refine_avg", 1),
             refine_chunk=getattr(opt, "refine_chunk", 8),
             refine_mix=getattr(opt, "refine_mix", 0.0),
+            refine_selfcond=getattr(opt, "refine_selfcond", False),
             runtime_fold=runtime_fold,
             n_ensemble=self._n_ensemble,
             **kw,

@@ -78,6 +78,7 @@ class InpaintService:
         refine_avg: int = 1,
         refine_chunk: int = 8,
         refine_mix: float = 0.0,
+        refine_selfcond: bool = False,
         complex_mag: str = "sample",
     ):
         """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
@@ -123,7 +124,8 @@ class InpaintService:
                 noise_scale=refine_noise, guidance=refine_guidance,
                 clamp_mode=refine_clamp, resample=refine_resample,
                 refine_avg=refine_avg, refine_chunk=refine_chunk,
-                complex_mag=complex_mag, external_mask=True,
+                complex_mag=complex_mag, self_cond=refine_selfcond,
+                external_mask=True,
             )
         else:
             self._infer = make_infer_fn(
@@ -138,6 +140,7 @@ class InpaintService:
                 refine_avg=refine_avg,
                 refine_chunk=refine_chunk,
                 refine_mix=refine_mix,
+                refine_selfcond=refine_selfcond,
             )
         self.stats = ServiceStats()
         import threading

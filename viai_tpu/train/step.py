@@ -411,6 +411,7 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                   refine_guidance: float = 0.0, refine_clamp: str = "x0",
                   refine_resample: int = 0, refine_avg: int = 1,
                   refine_chunk: int = 8, refine_mix: float = 0.0,
+                  refine_selfcond: bool = False,
                   noise_fold: int = 0x5EED, runtime_fold: bool = False,
                   n_ensemble: int = 1):
     """Build jit'd (g_state, v_state, wav, key_or_mask, frames) → wav.
@@ -539,6 +540,7 @@ def make_infer_fn(g_def, v_def, cfg: TrainConfig, n_gl_iter: int = 32,
                     steps=refine_steps, t_start=refine_t,
                     noise_scale=refine_noise, guidance=refine_guidance,
                     clamp_mode=refine_clamp, resample=refine_resample,
+                    self_cond=refine_selfcond,
                 )
 
             if refine_avg <= 1:
