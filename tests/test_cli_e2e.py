@@ -155,3 +155,50 @@ def test_ensemble_eval_cli(tmp_path):
     import numpy as np
     assert np.isfinite(two["hole_psnr_mean"])
     assert abs(two["hole_psnr_mean"] - single["hole_psnr_mean"]) > 1e-6
+
+
+def test_paired_delta_script(tmp_path):
+    """scripts/paired_delta.py: per-clip logs from two matched-seed
+    eval arms zip into a paired delta; identical arms give exactly 0."""
+    import subprocess
+    import sys
+
+    ckpt = str(tmp_path / "ckpts")
+    train_main(TINY + [
+        "--name", "pd", "--checkpoints_dir", ckpt,
+        "--niter", "1", "--niter_decay", "0", "--steps_per_epoch", "2",
+        "--save_epoch_freq", "1", "--lr_policy", "constant",
+        "--print_freq", "1",
+    ])
+    results = str(tmp_path / "results")
+    base = TINY + [
+        "--name", "pd", "--checkpoints_dir", ckpt,
+        "--results_dir", results, "--which_epoch", "latest",
+        "--how_many", "2",
+    ]
+    # Two runs of the SAME arm — the paired delta must be exactly 0 —
+    # plus one at different gl_iters, which must differ per-clip.
+    # VIAI_RESULTS_JSONL keeps the records out of the repo's durable
+    # quality_results.jsonl (a test must never pollute — or tempt a
+    # cleanup of — the real experiment log).
+    jsonl = str(tmp_path / "results.jsonl")
+    os.environ["VIAI_RESULTS_JSONL"] = jsonl
+    try:
+        infer_main(base + ["--log_results", "pd_a"])
+        infer_main(base + ["--log_results", "pd_a2"])
+        infer_main(base + ["--gl_iters", "1", "--log_results", "pd_b"])
+    finally:
+        del os.environ["VIAI_RESULTS_JSONL"]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "paired_delta.py"),
+         "pd_a", "pd_a2", "--jsonl", jsonl],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "+0.000 ±" in out.stdout and "no separation" in out.stdout
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "paired_delta.py"),
+         "pd_a", "pd_b", "--jsonl", jsonl],
+        capture_output=True, text=True)
+    assert out2.returncode == 0, out2.stderr
+    assert "paired delta" in out2.stdout

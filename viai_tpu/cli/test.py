@@ -224,8 +224,11 @@ def main(args=None):
         if len(all_hole_psnr) <= 256:
             rec["hole_psnr_clips"] = [round(float(x), 3)
                                       for x in all_hole_psnr]
-        out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))),
+        # VIAI_RESULTS_JSONL overrides the destination (tests point it
+        # at a tmp file so suite runs never pollute the repo's record).
+        out = os.environ.get("VIAI_RESULTS_JSONL") or os.path.join(
+            os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
             "scripts", "quality_results.jsonl")
         with open(out, "a") as f:
             f.write(_json.dumps(rec) + "\n")
