@@ -170,3 +170,31 @@ def test_service_with_complex_refiner():
     # Observed region (well away from the gap and clip edges).
     err = np.abs(out[:, 2600:3700] - wavs[:, 2600:3700]).max()
     assert err < 5e-3 * np.abs(wavs).max(), err
+
+
+def test_ensemble_service():
+    """Round-5 seed ensemble in the serving API: ensemble-of-self ==
+    single service output (averaging a G with itself is the identity),
+    and a genuine 2-G ensemble runs finite and differs."""
+    G, D, V = tiny_models()
+    g_def, g_state = nnx.split(G)
+    G2, _, _ = tiny_models(seed=9)
+    _, g_state2 = nnx.split(G2)
+    kw = dict(buckets=(2,), gl_iters=2, clip_samples=4032)
+    wavs = tone_batch(2, 4032)
+
+    single = InpaintService(g_def, g_state, TINY_CFG, **kw)
+    self_ens = InpaintService(g_def, g_state, TINY_CFG,
+                              ensemble_states=[g_state], **kw)
+    o1 = single.inpaint(wavs, gap_start_s=0.08, gap_end_s=0.12)
+    o2 = self_ens.inpaint(wavs, gap_start_s=0.08, gap_end_s=0.12)
+    # vmap+mean fuses differently than the plain apply (≈4e-5 float
+    # noise, amplified through the chaotic GL map) — equivalence, not
+    # bitwise equality, is the contract here.
+    np.testing.assert_allclose(o1, o2, atol=1e-3)
+
+    two = InpaintService(g_def, g_state, TINY_CFG,
+                         ensemble_states=[g_state2], **kw)
+    o3 = two.inpaint(wavs, gap_start_s=0.08, gap_end_s=0.12)
+    assert np.isfinite(o3).all()
+    assert np.abs(o3 - o1).max() > 0

@@ -80,6 +80,7 @@ class InpaintService:
         refine_mix: float = 0.0,
         refine_selfcond: bool = False,
         complex_mag: str = "sample",
+        ensemble_states: tp.Sequence | None = None,
     ):
         """Pass a `mesh` (from viai_tpu.train.make_mesh) to shard each
         bucket batch over the 'data' axis — DP serving across chips,
@@ -90,10 +91,25 @@ class InpaintService:
         (train/diffusion.py; VERDICT r3 #7). refiner_domain 'mag' runs
         it between G and Griffin-Lim; 'complex' swaps the whole decode
         for the GL-free complex-domain chain (hole (re, im) sampled by
-        DDIM, one iSTFT) — prefer refine_t=1.0 there."""
+        DDIM, one iSTFT) — prefer refine_t=1.0 there.
+
+        ensemble_states: K-1 extra same-architecture G states (round-5
+        seed ensemble, mirrors test.py --ensemble_names): all K
+        predictions are averaged in compressed-magnitude space inside
+        the chain. Not supported with refiner_domain='complex'."""
         self.cfg = cfg
         self.mesh = mesh
         self._sharding = None
+        n_ensemble = 1
+        if ensemble_states:
+            if refiner is not None and refiner_domain == "complex":
+                raise ValueError("ensemble_states is not supported with "
+                                 "refiner_domain='complex'")
+            states = [g_state, *ensemble_states]
+            g_state = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *states)
+            n_ensemble = len(states)
         if mesh is not None:
             from .train.mesh import batch_sharding, replicate
 
@@ -141,6 +157,7 @@ class InpaintService:
                 refine_chunk=refine_chunk,
                 refine_mix=refine_mix,
                 refine_selfcond=refine_selfcond,
+                n_ensemble=n_ensemble,
             )
         self.stats = ServiceStats()
         import threading
