@@ -45,7 +45,23 @@ CEVAL="--name lgap4 --checkpoints_dir $CKPT --long_gap --results_dir /tmp/r5q4_r
 run_arm r5q1_cplx_t100_s16_avg8_magkeep 3000 $CKPT/lgap4/40000_net_R.pth \
   $CEVAL --refine_t 1.0 --refine_steps 16 --refine_avg 8 --complex_mag keep
 
-# --- 2) self-cond refiner training (frozen beststack40 G @ 40k).
+# --- 2) quality-path bench presets (VERDICT r4 #7) — durable JSONL.
+#        Run BEFORE the long SC training: final round, the bench rows
+#        must not be hostage to a 3h training run.
+for p in refiner_mag refiner_complex hybrid; do
+  if timeout 3600 python bench.py --preset $p \
+       > /tmp/r5_bench_$p.log 2> /tmp/r5_bench_$p.err; then
+    tail -1 /tmp/r5_bench_$p.log >> /root/repo/scripts/bench_quality_r5.jsonl
+    echo "OK bench $p"
+  else
+    rc=$?
+    echo "FAIL bench $p rc=$rc"
+    { echo "=== bench $p rc=$rc $(date -u +%FT%TZ) ==="
+      tail -8 /tmp/r5_bench_$p.err; } >> "$FAILLOG"
+  fi
+done
+
+# --- 3) self-cond refiner training (frozen beststack40 G @ 40k).
 mkdir -p $CKPT/bs40r_sc
 for f in 40000_net_G.pth 40000_net_D.pth; do
   test -f $CKPT/bs40r_sc/$f || cp $CKPT/bs40r_ho/$f $CKPT/bs40r_sc/$f
@@ -71,7 +87,7 @@ if ! test -f $CKPT/bs40r_sc/40000_net_R.pth; then
   fi
 fi
 
-# --- 3) self-cond evals, n=64 matched masks (pairs with r5_queue2).
+# --- 4) self-cond evals, n=64 matched masks (pairs with r5_queue2).
 EVAL="--name bs40r_sc --checkpoints_dir $CKPT --bottleneck_dilation 1,2,4 --gated --results_dir /tmp/r5q4_res --dataset_mode synthetic_notes --how_many 64 --gl_backend pallas --which_epoch 40000 --refiner --refine_selfcond --refine_clamp q"
 run_arm r5q4_sc_t035_s8_n64 3600 $CKPT/bs40r_sc/40000_net_R.pth \
   $EVAL --refine_t 0.35 --refine_steps 8
@@ -79,19 +95,5 @@ run_arm r5q4_sc_t035_s8_avg8_n64 7200 $CKPT/bs40r_sc/40000_net_R.pth \
   $EVAL --refine_t 0.35 --refine_steps 8 --refine_avg 8
 run_arm r5q4_sc_mix07_avg8_n64 7200 $CKPT/bs40r_sc/40000_net_R.pth \
   $EVAL --refine_t 0.35 --refine_steps 8 --refine_avg 8 --refine_mix 0.7
-
-# --- 4) quality-path bench presets (VERDICT r4 #7) — durable JSONL.
-for p in refiner_mag refiner_complex hybrid; do
-  if timeout 3600 python bench.py --preset $p \
-       > /tmp/r5_bench_$p.log 2> /tmp/r5_bench_$p.err; then
-    tail -1 /tmp/r5_bench_$p.log >> /root/repo/scripts/bench_quality_r5.jsonl
-    echo "OK bench $p"
-  else
-    rc=$?
-    echo "FAIL bench $p rc=$rc"
-    { echo "=== bench $p rc=$rc $(date -u +%FT%TZ) ==="
-      tail -8 /tmp/r5_bench_$p.err; } >> "$FAILLOG"
-  fi
-done
 
 echo R5_QUEUE4_DONE
