@@ -74,6 +74,17 @@ train_r() {  # train_r NAME STEPS EXTRA_ARGS...
 }
 
 EVAL="--checkpoints_dir $CKPT --bottleneck_dilation 1,2,4 --gated --results_dir /tmp/r5q5_res --dataset_mode synthetic_notes --how_many 64 --gl_backend pallas --which_epoch 40000 --refiner --refine_clamp q"
+GEVAL="--checkpoints_dir $CKPT --bottleneck_dilation 1,2,4 --gated --results_dir /tmp/r5q5_res --dataset_mode synthetic_notes --how_many 64 --gl_backend pallas --which_epoch 40000"
+
+# (0) PAIRED reruns of the two n=64 headliners: the r5q2 records
+#     predate per-clip logging, so the mix07-vs-control comparison has
+#     no paired statistic yet. Same seed/how_many → same mask stream →
+#     scripts/paired_delta.py r5q5_mix07_clips r5q5_control_clips.
+run_arm r5q5_control_clips 3600 $CKPT/beststack40/40000_net_G.pth \
+  $GEVAL --name beststack40
+run_arm r5q5_mix07_clips 7200 $CKPT/bs40r_ho/40000_net_R.pth \
+  $EVAL --name bs40r_ho --refine_t 0.35 --refine_steps 8 \
+  --refine_avg 8 --refine_mix 0.7
 
 # (a) longer training: bs40r_ho 40k -> 80k (orbax resume from
 #     R40000_state; cosine lr restarts over the 80k horizon).
