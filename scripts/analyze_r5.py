@@ -20,6 +20,8 @@ GROUPS = {
     "queue4 (self-cond refiner, notes)": ("r5q4_", "hole_psnr_mean"),
     "queue5 (paired reruns + longer/wider R, notes)":
         ("r5q5_", "hole_psnr_mean"),
+    "queue6 (combined winners: ensemble-conditioned R, notes)":
+        ("r5q6_", "hole_psnr_mean"),
 }
 
 # (A, B) tag pairs to report as PAIRED per-clip deltas when both
@@ -34,6 +36,11 @@ PAIRED = [
     ("r5q4_sc_mix07_avg8_n64", "r5q5_mix07_clips"),
     ("r5q5_ho80_avg8_n64", "r5q5_control_clips"),
     ("r5q5_w96_avg8_n64", "r5q5_control_clips"),
+    ("r5q6_ens3_ho_avg8_n64", "r5q3_ens3_n64"),
+    ("r5q6_ens3_mix07_avg8_n64", "r5q3_ens3_n64"),
+    ("r5q6_ens3_mix07_avg8_n64", "r5q5_mix07_clips"),
+    ("r5q6_ens3_sc_mix07_avg8_n64", "r5q6_ens3_mix07_avg8_n64"),
+    ("r5q6_ens3_w96_mix07_avg8_n64", "r5q6_ens3_mix07_avg8_n64"),
 ]
 
 

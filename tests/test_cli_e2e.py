@@ -202,3 +202,45 @@ def test_paired_delta_script(tmp_path):
         capture_output=True, text=True)
     assert out2.returncode == 0, out2.stderr
     assert "paired delta" in out2.stdout
+
+
+def test_ensemble_refiner_composition_cli(tmp_path):
+    """Round-5 queue-6 path: --ensemble_names composed with --refiner.
+    make_infer_fn feeds the ensemble MEAN to R (train/step.py ~503), so
+    with --refine_mix 1.0 the convex mix returns exactly the ensemble-G
+    hole — the composed chain must reproduce the pure-ensemble chain —
+    and with mix 0 the ensemble-conditioned refiner runs finite."""
+    from flax import nnx
+
+    from viai_tpu.io import save_networks
+    from viai_tpu.nn import define_R
+
+    ckpt = str(tmp_path / "ckpts")
+    for name, seed in (("e6a", "1"), ("e6b", "7")):
+        train_main(TINY + [
+            "--name", name, "--checkpoints_dir", ckpt, "--seed", seed,
+            "--niter", "1", "--niter_decay", "0", "--steps_per_epoch", "2",
+            "--save_epoch_freq", "1", "--lr_policy", "constant",
+            "--print_freq", "1",
+        ])
+    # Init-weight R checkpoint in the primary run's dir.
+    R = define_R(4, ngf=8, seed=3)
+    _, r_state = nnx.split(R)
+    save_networks({"R": r_state}, "latest", os.path.join(ckpt, "e6a"),
+                  also_latest=False)
+
+    base = TINY + [
+        "--name", "e6a", "--ensemble_names", "e6b",
+        "--checkpoints_dir", ckpt,
+        "--results_dir", str(tmp_path / "res"),
+        "--which_epoch", "latest", "--how_many", "2",
+    ]
+    pure = infer_main(base)
+    rkw = ["--refiner", "--rngf", "8", "--refine_steps", "2",
+           "--refine_t", "0.2"]
+    mixed_out = infer_main(base + rkw + ["--refine_mix", "1.0"])
+    assert abs(pure["hole_psnr_mean"] - mixed_out["hole_psnr_mean"]) < 1e-3
+    assert abs(pure["psnr_mean"] - mixed_out["psnr_mean"]) < 1e-3
+    refined = infer_main(base + rkw)
+    import numpy as np
+    assert np.isfinite(refined["hole_psnr_mean"])
