@@ -43,9 +43,14 @@ run_arm() {  # run_arm TAG TIMEOUT_S NEEDFILE ARGS...
 
 GEVAL="--checkpoints_dir $CKPT --bottleneck_dilation 1,2,4 --gated --results_dir /tmp/r5q7_res --dataset_mode synthetic_notes --how_many 64 --gl_backend pallas --which_epoch 40000"
 
-# --- 0) paired-baseline rerun (transient TPU-unavailable at 03:49).
+# --- 0) paired-baseline reruns: BOTH r5q5 pairing arms died in the
+#        03:49-04:14 TPU-unavailable window. These anchor every paired
+#        verdict in analyze_r5.py, so they run first.
 run_arm r5q5_control_clips 3600 $CKPT/beststack40/40000_net_G.pth \
   $GEVAL --name beststack40
+run_arm r5q5_mix07_clips 7200 $CKPT/bs40r_ho/40000_net_R.pth \
+  $GEVAL --name bs40r_ho --refiner --refine_clamp q --refine_t 0.35 \
+  --refine_steps 8 --refine_avg 8 --refine_mix 0.7
 
 # --- 1) complex/hybrid quality benches, batch 32 (OOM fix).
 for p in refiner_complex hybrid; do
