@@ -100,16 +100,16 @@ train_r bs40r_ho80 80000
 run_arm r5q5_ho80_avg8_n64 7200 $CKPT/bs40r_ho80/80000_net_R.pth \
   $EVAL --name bs40r_ho80 --refiner_epoch 80000 \
   --refine_t 0.35 --refine_steps 8 --refine_avg 8
-run_arm r5q5_ho80_mix07_avg8_n64 7200 $CKPT/bs40r_ho80/80000_net_R.pth \
+: x_arm r5q5_ho80_mix07_avg8_n64 7200 $CKPT/bs40r_ho80/80000_net_R.pth \
   $EVAL --name bs40r_ho80 --refiner_epoch 80000 \
   --refine_t 0.35 --refine_steps 8 --refine_avg 8 --refine_mix 0.7
 
 # (b) capacity: fresh rngf-96 (2.25x params) hole-only refiner, 40k.
-train_r bs40r_w96 40000 --rngf 96
-run_arm r5q5_w96_avg8_n64 7200 $CKPT/bs40r_w96/40000_net_R.pth \
+: #w96cut bs40r_w96 40k --rngf 96
+: x_arm r5q5_w96_avg8_n64 7200 $CKPT/bs40r_w96/40000_net_R.pth \
   $EVAL --name bs40r_w96 --rngf 96 \
   --refine_t 0.35 --refine_steps 8 --refine_avg 8
-run_arm r5q5_w96_mix07_avg8_n64 7200 $CKPT/bs40r_w96/40000_net_R.pth \
+: x_arm r5q5_w96_mix07_avg8_n64 7200 $CKPT/bs40r_w96/40000_net_R.pth \
   $EVAL --name bs40r_w96 --rngf 96 \
   --refine_t 0.35 --refine_steps 8 --refine_avg 8 --refine_mix 0.7
 
