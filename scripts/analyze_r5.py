@@ -32,6 +32,8 @@ PAIRED = [
     ("r5q3_ens3_n64", "r5q5_control_clips"),
     ("r5q3_ens2_n64", "r5q3_s11_n64"),
     ("r5q3_ens3_n64", "r5q3_ens2_n64"),
+    ("r5q3_ens3_n64", "r5q3_s11_n64"),
+    ("r5q3_ens3_n64", "r5q3_s23_n64"),
     ("r5q4_sc_t035_s8_avg8_n64", "r5q5_control_clips"),
     ("r5q4_sc_mix07_avg8_n64", "r5q5_mix07_clips"),
     ("r5q5_ho80_avg8_n64", "r5q5_control_clips"),
