@@ -55,6 +55,12 @@ def main():
                          "(the reference chain / round-1 unit of work); "
                          "the default benchmarks the product default "
                          "(phase-aware), a strictly heavier chain")
+    ap.add_argument("--refine_chunk", type=int, default=4,
+                    help="refiner_complex/hybrid posterior-mean chunk "
+                         "size: peak HBM scales with batch*chunk images "
+                         "in flight through R (batch 32 x chunk 8 = 256 "
+                         "needs ~14G temp and OOMs v5e's 15.75G next to "
+                         "the program's constants; 32 x 4 fits)")
     ap.add_argument("--preset", type=str, default="default",
                     choices=["default", "refiner_mag", "refiner_complex",
                              "hybrid"],
@@ -108,7 +114,7 @@ def main():
         r_def, r_state = nnx.split(R)
         infer = make_complex_refiner_infer_fn(
             g_def, None, r_def, r_state, cfg, steps=16, t_start=1.0,
-            refine_avg=8, refine_chunk=8,
+            refine_avg=8, refine_chunk=args.refine_chunk,
             complex_mag="keep" if args.preset == "hybrid" else "sample")
 
     rng = np.random.default_rng(0)
