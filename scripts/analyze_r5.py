@@ -22,6 +22,8 @@ GROUPS = {
         ("r5q5_", "hole_psnr_mean"),
     "queue6 (combined winners: ensemble-conditioned R, notes)":
         ("r5q6_", "hole_psnr_mean"),
+    "queue8 (post-reboot retrained replicas, notes)":
+        ("r5q8_", "hole_psnr_mean"),
 }
 
 # (A, B) tag pairs to report as PAIRED per-clip deltas when both
@@ -43,6 +45,15 @@ PAIRED = [
     ("r5q6_ens3_mix07_avg8_n64", "r5q5_mix07_clips"),
     ("r5q6_ens3_sc_mix07_avg8_n64", "r5q6_ens3_mix07_avg8_n64"),
     ("r5q6_ens3_w96_mix07_avg8_n64", "r5q6_ens3_mix07_avg8_n64"),
+    # queue 8: post-reboot same-seed retrained replicas. newest() picks
+    # the rerun rows for the reused r5q5_*/r5q6_* tags automatically,
+    # so every pair below is within the retrained model family.
+    ("r5q8_ens3_n64", "r5q5_control_clips"),
+    ("r5q8_ens2_mix07_avg8_n64", "r5q5_mix07_clips"),
+    ("r5q8_ens2_mix07_avg8_n64", "r5q5_control_clips"),
+    ("r5q6_ens3_mix07_avg8_n64", "r5q8_ens3_n64"),
+    ("r5q6_ens3_ho_avg8_n64", "r5q8_ens3_n64"),
+    ("r5q8_ens3_n64", "r5q3_ens3_n64"),
 ]
 
 

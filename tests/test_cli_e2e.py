@@ -244,3 +244,46 @@ def test_ensemble_refiner_composition_cli(tmp_path):
     refined = infer_main(base + rkw)
     import numpy as np
     assert np.isfinite(refined["hole_psnr_mean"])
+
+
+def test_analyze_r5_paired_verdicts(tmp_path):
+    """scripts/analyze_r5.py: the round-5 consolidator ranks tags per
+    queue and emits paired per-clip z-verdicts; newest-wins when a tag
+    was re-run (queue 8 reuses queue-5/6 tags after the checkpoint
+    wipe), and a >2σ paired delta reads A>B."""
+    import subprocess
+    import sys
+
+    clips_b = [30.0, 40.0, 50.0, 60.0]
+    # Paired deltas +0.4/+0.5/+0.6/+0.5 → mean +0.5, sem ~0.04, z >> 2.
+    clips_a = [30.4, 40.5, 50.6, 60.5]
+    stale_b = [0.0, 0.0, 0.0, 0.0]  # must lose newest-wins
+
+    def row(tag, clips, t):
+        return {"exp": "test_eval", "tag": tag, "n": len(clips),
+                "hole_psnr_mean": sum(clips) / len(clips),
+                "hole_psnr_sem": 1.0, "snr_mean": 1.0, "snr_sem": 0.1,
+                "spec_conv_mean": 0.1, "t": t,
+                "hole_psnr_clips": clips}
+
+    jsonl = tmp_path / "q.jsonl"
+    jsonl.write_text("\n".join(json.dumps(r) for r in [
+        row("r5q5_control_clips", stale_b, 1.0),   # pre-reboot, stale
+        row("r5q5_control_clips", clips_b, 2.0),   # queue-8 rerun
+        row("r5q8_ens3_n64", clips_a, 2.0),
+    ]) + "\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "analyze_r5.py"),
+         "--jsonl", str(jsonl)],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "queue8 (post-reboot retrained replicas" in out.stdout
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("- r5q8_ens3_n64 vs r5q5_control_clips")]
+    assert len(line) == 1
+    # Newest-wins: pairing vs the stale all-zero control would read
+    # +45.375; the rerun control gives exactly +0.500 and A>B.
+    assert "+0.500 ±" in line[0] and "A>B" in line[0]
+    # Arms not present degrade to an explicit (missing arm) note.
+    assert "(missing arm)" in out.stdout
