@@ -68,7 +68,7 @@ def main():
                          "refiner_mag = +8-step DDIM magnitude refiner "
                          "before GL; refiner_complex = GL-free complex "
                          "decode, 16 steps + posterior mean over 8 "
-                         "samples (refine_chunk 8); hybrid = "
+                         "samples (chunked per --refine_chunk); hybrid = "
                          "refiner_complex + --complex_mag keep. The "
                          "driver headline stays preset=default")
     args = ap.parse_args()

@@ -54,6 +54,9 @@ PAIRED = [
     ("r5q6_ens3_mix07_avg8_n64", "r5q8_ens3_n64"),
     ("r5q6_ens3_ho_avg8_n64", "r5q8_ens3_n64"),
     ("r5q8_ens3_n64", "r5q3_ens3_n64"),
+    # Composition vs pure ensemble at K=2 (cross-training-family, same
+    # mask stream): does refiner-mix still add on top of the ensemble?
+    ("r5q8_ens2_mix07_avg8_n64", "r5q3_ens2_n64"),
 ]
 
 
@@ -82,7 +85,8 @@ def main() -> None:
         sel = {}
         for d in rows:                       # newest per tag
             if d["tag"].startswith(prefix):
-                if d["tag"] not in sel or d["t"] > sel[d["tag"]]["t"]:
+                if (d["tag"] not in sel
+                        or d.get("t", 0) > sel[d["tag"]].get("t", 0)):
                     sel[d["tag"]] = d
         sel = sorted(sel.values(),
                      key=lambda d: -d.get(metric, float("-inf")))
@@ -112,12 +116,22 @@ def main() -> None:
         if not ca or not cb or len(ca) != len(cb):
             print(f"- {ta} vs {tb}: (no paired per-clip data)")
             continue
+        # Mask-stream guard: pairing is only valid when both arms drew
+        # the same eval seed (records carry it since round 5; older
+        # rows, all run at the default, are trusted when absent).
+        sa, sb = a.get("seed"), b.get("seed")
+        if sa is not None and sb is not None and sa != sb:
+            print(f"- {ta} vs {tb}: (UNPAIRABLE: seeds {sa} != {sb})")
+            continue
         d = [x - y for x, y in zip(ca, cb)]
         n = len(d)
         mean = sum(d) / n
         var = (sum((x - mean) ** 2 for x in d) / (n - 1)) if n > 1 else 0.0
         sem = math.sqrt(var / n) if n > 1 else float("nan")
-        z = (mean / sem) if sem > 0 else 0.0
+        # sem == 0 with a nonzero mean is perfect separation, not "no
+        # sep" (matches scripts/paired_delta.py's copysign(inf) edge).
+        z = (mean / sem) if sem > 0 else (
+            0.0 if mean == 0 else math.copysign(float("inf"), mean))
         verdict = ("A>B" if z > 2 else "B>A" if z < -2 else "no sep")
         print(f"- {ta} vs {tb}: Δ = {mean:+.3f} ± {sem:.3f} dB "
               f"(z={z:+.2f}, n={n}) → {verdict}")

@@ -52,6 +52,10 @@ def main() -> None:
                          "(different --how_many/--batchSize?)")
     if a.get("dataset_mode") != b.get("dataset_mode"):
         raise SystemExit("different dataset_mode — deltas are not paired")
+    sa, sb = a.get("seed"), b.get("seed")
+    if sa is not None and sb is not None and sa != sb:
+        raise SystemExit(f"different eval seeds ({sa} vs {sb}) — the mask "
+                         "streams differ, deltas are not paired")
     d = [x - y for x, y in zip(ca, cb)]
     n = len(d)
     mean = sum(d) / n

@@ -287,3 +287,69 @@ def test_analyze_r5_paired_verdicts(tmp_path):
     assert "+0.500 ±" in line[0] and "A>B" in line[0]
     # Arms not present degrade to an explicit (missing arm) note.
     assert "(missing arm)" in out.stdout
+
+
+def test_eval_caps_at_how_many_with_partial_batch(tmp_path):
+    """--how_many that batchSize doesn't divide: the summary mean/SEM
+    and the per-clip record must cover exactly how_many clips, not the
+    whole final batch (a 40-batch arm claiming n=64 over 80 clips
+    would silently break pairing against a 16-batch arm)."""
+    ckpt = str(tmp_path / "ckpts")
+    train_main(TINY + [
+        "--name", "cap", "--checkpoints_dir", ckpt,
+        "--niter", "1", "--niter_decay", "0", "--steps_per_epoch", "2",
+        "--save_epoch_freq", "1", "--lr_policy", "constant",
+        "--print_freq", "1",
+    ])
+    jsonl = str(tmp_path / "cap.jsonl")
+    os.environ["VIAI_RESULTS_JSONL"] = jsonl
+    try:
+        summary = infer_main(TINY + [
+            "--name", "cap", "--checkpoints_dir", ckpt,
+            "--results_dir", str(tmp_path / "res"),
+            "--which_epoch", "latest", "--how_many", "3",
+            "--log_results", "cap3",
+        ])
+    finally:
+        del os.environ["VIAI_RESULTS_JSONL"]
+    assert summary["n"] == 3
+    rec = json.loads(open(jsonl).readline())
+    assert len(rec["hole_psnr_clips"]) == 3
+    # Pairing provenance recorded (seed drives the mask stream).
+    assert rec["seed"] == 0 and rec["batchSize"] == 2
+    assert rec["how_many"] == 3
+
+
+def test_paired_tools_reject_mismatched_seeds(tmp_path):
+    """Records from different eval seeds are different mask streams:
+    paired_delta.py must refuse, analyze_r5.py must mark UNPAIRABLE."""
+    import subprocess
+    import sys
+
+    def row(tag, seed, t):
+        return {"exp": "test_eval", "tag": tag, "n": 2, "seed": seed,
+                "dataset_mode": "synthetic", "hole_psnr_mean": 1.0,
+                "hole_psnr_sem": 1.0, "snr_mean": 1.0, "snr_sem": 0.1,
+                "spec_conv_mean": 0.1, "t": t,
+                "hole_psnr_clips": [30.0, 40.0]}
+
+    jsonl = tmp_path / "seeds.jsonl"
+    jsonl.write_text("\n".join(json.dumps(r) for r in [
+        row("r5q5_control_clips", 0, 1.0),
+        row("r5q5_mix07_clips", 11, 1.0),
+    ]) + "\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "paired_delta.py"),
+         "r5q5_mix07_clips", "r5q5_control_clips", "--jsonl", str(jsonl)],
+        capture_output=True, text=True)
+    assert out.returncode != 0
+    assert "not paired" in (out.stdout + out.stderr)
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "analyze_r5.py"),
+         "--jsonl", str(jsonl)],
+        capture_output=True, text=True)
+    assert out2.returncode == 0, out2.stderr
+    line = [ln for ln in out2.stdout.splitlines()
+            if ln.startswith("- r5q5_mix07_clips vs r5q5_control_clips")]
+    assert len(line) == 1 and "UNPAIRABLE" in line[0]

@@ -70,6 +70,7 @@ def main(args=None):
         n_samples = 1
     if n_samples > 1:
         infer_one = model._build_infer_fn(runtime_fold=True)
+    _bok_lbl = f" (best-of-{n_samples} oracle)" if n_samples > 1 else ""
 
     results_dir = os.path.join(
         opt.results_dir, opt.name, f"{opt.phase}_{opt.which_epoch}"
@@ -118,11 +119,15 @@ def main(args=None):
                 out_wav, out_img,
             ))
         # Headline metrics: the FIRST (non-oracle) sample, always.
+        # Cap at --how_many: a final partial batch must not leak extra
+        # clips into the means/SEM (summary n and the per-clip record
+        # would silently disagree when batchSize doesn't divide it).
+        take = max(0, opt.how_many - len(all_psnr))
         s_hole, s_psnr, s_snr, s_sc = cand[0][:4]
-        all_psnr += list(s_psnr)
-        all_hole_psnr += list(s_hole)
-        all_snr += list(s_snr)
-        all_sc += list(s_sc)
+        all_psnr += list(s_psnr)[:take]
+        all_hole_psnr += list(s_hole)[:take]
+        all_snr += list(s_snr)[:take]
+        all_sc += list(s_sc)[:take]
         if len(cand) == 1:
             b_hole, b_psnr, b_snr, b_sc, out_wav, out_img = cand[0]
         else:
@@ -133,12 +138,15 @@ def main(args=None):
                  for b in range(holes.shape[1])])
             b_hole, b_psnr, b_snr, b_sc = (pick(0), pick(1), pick(2),
                                            pick(3))
-            # Gallery shows the best-of-K pick (labelled as such).
+            # Gallery shows the best-of-K pick; its metric labels carry
+            # the oracle tag so the HTML can't be read as a non-oracle
+            # arm (same conflation *_bok_* namespacing prevents in the
+            # durable record).
             out_wav, out_img = pick(4), pick(5)
-            bok_hole += list(b_hole)
-            bok_psnr += list(b_psnr)
-            bok_snr += list(b_snr)
-            bok_sc += list(b_sc)
+            bok_hole += list(b_hole)[:take]
+            bok_psnr += list(b_psnr)[:take]
+            bok_snr += list(b_snr)[:take]
+            bok_sc += list(b_sc)[:take]
 
         wav_np = np.asarray(wav_in)
         out_np = np.asarray(out_wav)
@@ -155,10 +163,10 @@ def main(args=None):
                 },
                 wavs={"real": wav_np[b], "inpainted": out_np[b]},
                 metrics={
-                    "PSNR": float(b_psnr[b]),
-                    "holePSNR": float(b_hole[b]),
-                    "SNR": float(b_snr[b]),
-                    "specConv": float(b_sc[b]),
+                    f"PSNR{_bok_lbl}": float(b_psnr[b]),
+                    f"holePSNR{_bok_lbl}": float(b_hole[b]),
+                    f"SNR{_bok_lbl}": float(b_snr[b]),
+                    f"specConv{_bok_lbl}": float(b_sc[b]),
                 },
                 sr=opt.sample_rate,
             )
@@ -215,7 +223,13 @@ def main(args=None):
 
         rec = {"exp": "test_eval", "tag": opt.log_results,
                "name": opt.name, "which_epoch": opt.which_epoch,
-               "dataset_mode": opt.dataset_mode, **summary,
+               "dataset_mode": opt.dataset_mode,
+               # Pairing provenance: per-clip deltas are only valid
+               # between arms sharing the mask stream (seed) and clip
+               # order (batchSize). Recorded so paired tools can check
+               # instead of trusting the operator.
+               "seed": int(opt.seed), "batchSize": int(opt.batchSize),
+               "how_many": int(opt.how_many), **summary,
                "t": _time.time()}
         # Per-clip hole-PSNRs (same --seed → same mask stream): two
         # arms' records zip into PAIRED per-clip deltas, whose SEM is
